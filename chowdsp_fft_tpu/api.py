@@ -1,0 +1,203 @@
+"""Public API: plans, transforms, and convolution helpers.
+
+Functional JAX re-design of the reference's 10-function C API
+(/root/reference/chowdsp_fft.h:63-163). Mapping:
+
+  fft_new_setup / _preallocated / destroy  -> make_plan (plans are pytrees;
+                                              no destroy, no placement)
+  fft_bytes_required                       -> plan_bytes (informational)
+  fft_simd_width_bytes                     -> vector_width_bytes (VPU lanes)
+  fft_transform                            -> fft / ifft / rfft / irfft
+  fft_transform_unordered                  -> *_unordered variants
+  fft_convolve_unordered                   -> convolve_accumulate
+  fft_accumulate                           -> accumulate
+  aligned_malloc / aligned_free            -> N/A (XLA owns buffers)
+
+Semantics preserved from the reference:
+- Unscaled transforms: ifft(fft(x)) == N * x (/root/reference/chowdsp_fft.h:128).
+- Unordered transforms pair with convolve_accumulate for order-independent
+  frequency-domain work (/root/reference/chowdsp_fft.h:140-154). Which
+  permutation "unordered" means is engine-private, exactly as in the
+  reference where it is backend-private (SSE vs AVX internal layouts
+  differ); this module guarantees only that unordered-forward ->
+  convolve -> unordered-backward round-trips.
+
+Engine dispatch (the TPU analog of the reference's AVX-vs-SSE runtime
+dispatch via pointer tagging, /root/reference/chowdsp_fft.cpp:213-280):
+``engine="auto"`` picks the Pallas metal engine when the size/backend
+supports it and falls back to the jnp Stockham engine otherwise — the same
+try-the-fast-backend-else-fall-back shape as fft_new_setup_preallocated
+(/root/reference/chowdsp_fft.cpp:258-280), decided at trace time instead of
+at setup time.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .plans import (
+    FFT_BACKWARD,
+    FFT_COMPLEX,
+    FFT_FORWARD,
+    FFT_REAL,
+    FFTPlan,
+    InvalidSizeError,
+    cached_plan,
+    factorize,
+    is_valid_size,
+    make_plan,
+)
+from .ops import stockham
+from .ops.convolve import accumulate, convolve_accumulate, multiply_spectra
+
+__all__ = [
+    "FFT_FORWARD",
+    "FFT_BACKWARD",
+    "FFT_REAL",
+    "FFT_COMPLEX",
+    "FFTPlan",
+    "InvalidSizeError",
+    "make_plan",
+    "cached_plan",
+    "factorize",
+    "is_valid_size",
+    "plan_bytes",
+    "vector_width_bytes",
+    "fft",
+    "ifft",
+    "rfft",
+    "irfft",
+    "fft_unordered",
+    "ifft_unordered",
+    "rfft_unordered",
+    "irfft_unordered",
+    "convolve_accumulate",
+    "multiply_spectra",
+    "accumulate",
+]
+
+# ---------------------------------------------------------------------------
+# Engine registry. The Pallas engine registers itself on import (see
+# ops/pallas_fft.py); the Stockham jnp engine is always available.
+# ---------------------------------------------------------------------------
+
+_ENGINES: dict[str, dict[str, Callable]] = {}
+
+
+def register_engine(name: str, fns: dict[str, Callable], supports: Callable[[FFTPlan], bool]):
+    _ENGINES[name] = {"fns": fns, "supports": supports}
+
+
+register_engine(
+    "stockham",
+    {
+        "cfft": stockham.cfft,
+        "rfft": stockham.rfft,
+        "irfft": stockham.irfft,
+        # Stockham output is naturally ordered; its "unordered" layout is
+        # simply the ordered one (a legal choice of internal layout).
+        "cfft_unordered": stockham.cfft,
+        "rfft_unordered": stockham.rfft,
+        "irfft_unordered": stockham.irfft,
+    },
+    supports=lambda plan: True,
+)
+
+
+def _pick_engine(plan: FFTPlan, engine: str) -> dict[str, Callable]:
+    if engine != "auto":
+        e = _ENGINES.get(engine)
+        if e is None:
+            raise ValueError(f"unknown engine {engine!r}; have {sorted(_ENGINES)}")
+        if not e["supports"](plan):
+            raise ValueError(f"engine {engine!r} does not support plan (N={plan.n}, kind={plan.kind})")
+        return e["fns"]
+    # auto: prefer the metal engine, fall back to stockham — mirrors the
+    # reference's AVX-then-SSE fallback (/root/reference/chowdsp_fft.cpp:258-280).
+    for name in ("pallas", "stockham"):
+        e = _ENGINES.get(name)
+        if e is not None and e["supports"](plan):
+            return e["fns"]
+    raise AssertionError("stockham engine should always be available")
+
+
+# ---------------------------------------------------------------------------
+# Informational queries
+# ---------------------------------------------------------------------------
+
+
+def plan_bytes(n: int, kind: str = FFT_COMPLEX) -> int:
+    """Bytes of twiddle-table storage a plan carries. Informational analog of
+    ``fft_bytes_required`` (/root/reference/chowdsp_fft.h:81-85) — here the
+    runtime owns placement, so this is for capacity planning only."""
+    plan = cached_plan(n, kind)
+    total = 0
+    for st in plan.stages:
+        total += st.tw_re.size * 4 + st.tw_im.size * 4
+    if plan.rfft_tw_re is not None:
+        total += plan.rfft_tw_re.size * 4 + plan.rfft_tw_im.size * 4
+    return total
+
+
+def vector_width_bytes() -> int:
+    """TPU VPU lane width in bytes (128 fp32 lanes), the analog of
+    ``fft_simd_width_bytes`` (/root/reference/chowdsp_fft.h:121-122, 16 for
+    SSE/NEON, 32 for AVX)."""
+    return 128 * 4
+
+
+# ---------------------------------------------------------------------------
+# Transforms (unscaled: ifft(fft(x)) == N * x)
+# ---------------------------------------------------------------------------
+
+
+def fft(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    """Ordered forward complex FFT over the last axis -> (..., N) complex64."""
+    plan = plan or cached_plan(x.shape[-1], FFT_COMPLEX)
+    return _pick_engine(plan, engine)["cfft"](x, plan, FFT_FORWARD)
+
+
+def ifft(spec: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    """Ordered backward complex FFT (unscaled: returns N * inverse)."""
+    plan = plan or cached_plan(spec.shape[-1], FFT_COMPLEX)
+    return _pick_engine(plan, engine)["cfft"](spec, plan, FFT_BACKWARD)
+
+
+def rfft(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    """Real forward FFT -> canonical (..., N//2+1) complex spectrum."""
+    plan = plan or cached_plan(x.shape[-1], FFT_REAL)
+    return _pick_engine(plan, engine)["rfft"](x, plan)
+
+
+def irfft(spec: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    """Backward real FFT (unscaled): irfft(rfft(x)) == N * x -> (..., N) f32."""
+    n = 2 * (spec.shape[-1] - 1)
+    plan = plan or cached_plan(n, FFT_REAL)
+    return _pick_engine(plan, engine)["irfft"](spec, plan)
+
+
+def fft_unordered(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    """Forward complex FFT in engine-internal frequency order
+    (capability of ``fft_transform_unordered``, /root/reference/chowdsp_fft.h:140-145)."""
+    plan = plan or cached_plan(x.shape[-1], FFT_COMPLEX)
+    return _pick_engine(plan, engine)["cfft_unordered"](x, plan, FFT_FORWARD)
+
+
+def ifft_unordered(spec: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    """Backward complex FFT consuming engine-internal frequency order."""
+    plan = plan or cached_plan(spec.shape[-1], FFT_COMPLEX)
+    return _pick_engine(plan, engine)["cfft_unordered"](spec, plan, FFT_BACKWARD)
+
+
+def rfft_unordered(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    plan = plan or cached_plan(x.shape[-1], FFT_REAL)
+    return _pick_engine(plan, engine)["rfft_unordered"](x, plan)
+
+
+def irfft_unordered(spec: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
+    n = 2 * (spec.shape[-1] - 1)
+    plan = plan or cached_plan(n, FFT_REAL)
+    return _pick_engine(plan, engine)["irfft_unordered"](spec, plan)
