@@ -1,0 +1,130 @@
+"""Pallas metal-engine tests (interpreter mode on CPU).
+
+Same differential scheme as test_fft_core.py, plus unordered-layout
+contracts: unordered forward is a fixed permutation of the ordered
+spectrum, and unordered round trips / convolution compose — the behavior
+the reference guarantees for fft_transform_unordered + fft_convolve_unordered
+(/root/reference/chowdsp_fft.h:140-154, test.cpp:131-232).
+"""
+
+import numpy as np
+import pytest
+
+import chowdsp_fft_tpu as cf
+from chowdsp_fft_tpu.ops import pallas_fft
+
+PALLAS_C_SIZES = [256, 512, 1024, 4096]
+PALLAS_R_SIZES = [512, 1024, 4096, 8192]
+
+
+def tol(n):
+    return 2.0e-7 * n
+
+
+def rand_complex(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+
+def test_supports_plan():
+    assert pallas_fft.supports_plan(cf.make_plan(256, cf.FFT_COMPLEX))
+    assert pallas_fft.supports_plan(cf.make_plan(4096, cf.FFT_REAL))
+    assert not pallas_fft.supports_plan(cf.make_plan(96, cf.FFT_COMPLEX))  # non-pow2
+    assert not pallas_fft.supports_plan(cf.make_plan(64, cf.FFT_COMPLEX))  # too small
+    assert not pallas_fft.supports_plan(cf.make_plan(3 * 4096, cf.FFT_REAL))
+
+
+@pytest.mark.parametrize("n", PALLAS_C_SIZES)
+def test_pallas_cfft_vs_numpy(n, rng):
+    x = rand_complex(rng, (5, n))
+    got = np.asarray(cf.fft(x, engine="pallas"))
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=tol(n), rtol=0)
+
+
+@pytest.mark.parametrize("n", PALLAS_C_SIZES)
+def test_pallas_cfft_backward(n, rng):
+    x = rand_complex(rng, (3, n))
+    back = np.asarray(cf.ifft(cf.fft(x, engine="pallas"), engine="pallas")) / n
+    np.testing.assert_allclose(back, x, atol=tol(n), rtol=0)
+    # Ordered backward alone vs numpy
+    got = np.asarray(cf.ifft(x, engine="pallas"))
+    ref = np.fft.ifft(x.astype(np.complex128), axis=-1) * n
+    np.testing.assert_allclose(got, ref, atol=tol(n), rtol=0)
+
+
+@pytest.mark.parametrize("n", PALLAS_C_SIZES)
+def test_pallas_unordered_is_fixed_permutation(n, rng):
+    x = rand_complex(rng, (2, n))
+    ordered = np.asarray(cf.fft(x, engine="pallas"))
+    unordered = np.asarray(cf.fft_unordered(x, engine="pallas"))
+    # unordered = digit-transposed ordered: [k1, k2] holds X[k1 + N1*k2]
+    n1 = n // pallas_fft.LANES
+    perm = (np.arange(n).reshape(n1, pallas_fft.LANES) * 0
+            + np.arange(n1)[:, None] + n1 * np.arange(pallas_fft.LANES)[None, :]).reshape(n)
+    np.testing.assert_allclose(unordered, ordered[:, perm], atol=1e-4, rtol=0)
+
+
+@pytest.mark.parametrize("n", PALLAS_C_SIZES)
+def test_pallas_unordered_roundtrip(n, rng):
+    x = rand_complex(rng, (2, n))
+    back = np.asarray(cf.ifft_unordered(cf.fft_unordered(x, engine="pallas"), engine="pallas")) / n
+    np.testing.assert_allclose(back, x, atol=tol(n), rtol=0)
+
+
+@pytest.mark.parametrize("n", PALLAS_R_SIZES)
+def test_pallas_rfft_vs_numpy(n, rng):
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    got = np.asarray(cf.rfft(x, engine="pallas"))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=tol(n), rtol=0)
+
+
+@pytest.mark.parametrize("n", PALLAS_R_SIZES)
+def test_pallas_rfft_roundtrip(n, rng):
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    back = np.asarray(cf.irfft(cf.rfft(x, engine="pallas"), engine="pallas")) / n
+    np.testing.assert_allclose(back, x, atol=tol(n), rtol=0)
+
+
+def test_pallas_conv_e2e(rng):
+    n = 4096
+    a = rng.standard_normal((n,)).astype(np.float32)
+    b = rng.standard_normal((n,)).astype(np.float32)
+    A = cf.rfft_unordered(a, engine="pallas")
+    B = cf.rfft_unordered(b, engine="pallas")
+    y = np.asarray(cf.irfft_unordered(cf.convolve_accumulate(A, B), engine="pallas")) / n
+    ref = np.fft.irfft(np.fft.rfft(a.astype(np.float64)) * np.fft.rfft(b.astype(np.float64)))
+    np.testing.assert_allclose(y, ref, atol=tol(n) * np.sqrt(n), rtol=0)
+
+
+def test_pallas_complex_unordered_conv_e2e(rng):
+    n = 1024
+    a = rand_complex(rng, (n,))
+    b = rand_complex(rng, (n,))
+    A = cf.fft_unordered(a, engine="pallas")
+    B = cf.fft_unordered(b, engine="pallas")
+    y = np.asarray(cf.ifft_unordered(cf.convolve_accumulate(A, B), engine="pallas")) / n
+    ref = np.fft.ifft(np.fft.fft(a.astype(np.complex128)) * np.fft.fft(b.astype(np.complex128)))
+    np.testing.assert_allclose(y, ref, atol=tol(n) * np.sqrt(n), rtol=0)
+
+
+def test_auto_dispatch_prefers_pallas(rng):
+    # The auto engine must route supported sizes to pallas and still be
+    # correct (the AVX-else-SSE dispatch analog, chowdsp_fft.cpp:258-280).
+    n = 1024
+    x = rand_complex(rng, (2, n))
+    got = np.asarray(cf.fft(x))  # auto
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=tol(n), rtol=0)
+
+
+def test_odd_batch_padding(rng):
+    n = 256
+    x = rand_complex(rng, (13, n))  # not a multiple of the batch tile
+    got = np.asarray(cf.fft(x, engine="pallas"))
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=tol(n), rtol=0)
+    # single vector, no batch dim
+    y = rand_complex(rng, (n,))
+    got1 = np.asarray(cf.fft(y, engine="pallas"))
+    np.testing.assert_allclose(got1, np.fft.fft(y.astype(np.complex128)), atol=tol(n), rtol=0)
