@@ -1,0 +1,167 @@
+"""Overlap-save (OLS) FFT convolution: single-FFT and partitioned forms.
+
+This is the streaming layer the reference's convolution primitives exist to
+serve: its test fixture runs unordered-forward x2 -> convolve-accumulate ->
+unordered-backward (/root/reference/test/test.cpp:131-232), which is one
+block of exactly this algorithm. Here it is scaled to long streams and
+batches of channels, TPU-first:
+
+- blocks are framed with static shapes and processed as one batched FFT
+  (the batch axis feeds the Pallas engine / VPU lanes);
+- the frequency-domain work uses the *unordered* transforms +
+  convolve_accumulate, so no reorder pass is ever paid — the same
+  order-independence trick the reference's API encodes
+  (/root/reference/chowdsp_fft.h:140-154);
+- partitioned convolution keeps a frequency-domain delay line (FDL) and
+  accumulates partitions with convolve_accumulate, the standard
+  low-latency long-FIR structure built from the reference's
+  "ab += a*b*scaling" primitive (sse:1603-1645).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import api
+
+__all__ = [
+    "next_fft_size",
+    "fir_filter_ols",
+    "PartitionedFIR",
+    "partitioned_fir_apply",
+]
+
+
+def next_fft_size(n: int) -> int:
+    """Smallest supported FFT size >= n. Prefers powers of two (the Pallas
+    engine's domain); falls back to {2,3,5}-smooth sizes handled by the
+    Stockham engine."""
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _frame_overlap(x: jax.Array, block: int, overlap: int) -> jax.Array:
+    """(..., T) -> (..., num_blocks, overlap + block) frames, stride =
+    block, left-padded with `overlap` zeros (and right-padded to whole
+    blocks). Static shapes throughout — jit/XLA friendly."""
+    t = x.shape[-1]
+    nblocks = -(-t // block)
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(overlap, nblocks * block - t)])
+    # frame i covers x_padded[i*block : i*block + overlap + block]
+    idx = np.arange(nblocks)[:, None] * block + np.arange(overlap + block)[None, :]
+    return x[..., idx]
+
+
+def fir_filter_ols(
+    x: jax.Array,
+    h: jax.Array,
+    block: int | None = None,
+    engine: str = "auto",
+) -> jax.Array:
+    """Linear FIR filtering of (..., T) streams by (taps,) or broadcastable
+    (..., taps) filters via single-partition overlap-save.
+
+    Returns the same-length (truncated to T) filtered stream, matching
+    scipy.signal.lfilter(h, 1, x) semantics (zero initial state).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    taps = h.shape[-1]
+    t = x.shape[-1]
+    if block is None:
+        block = max(256, next_fft_size(4 * taps) // 2)
+    n = next_fft_size(block + taps - 1)
+    block = n - (taps - 1)
+
+    plan = api.cached_plan(n, api.FFT_REAL)
+    hpad = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, n - taps)])
+    hspec = api.rfft_unordered(hpad, plan=plan, engine=engine)
+
+    frames = _frame_overlap(x, block, taps - 1)  # (..., nb, n)
+    xspec = api.rfft_unordered(frames, plan=plan, engine=engine)
+    yspec = api.multiply_spectra(xspec, hspec[..., None, :] if h.ndim == x.ndim else hspec)
+    yblocks = api.irfft_unordered(yspec, plan=plan, engine=engine) * (1.0 / n)
+    # Overlap-save: the first taps-1 samples of each block are circularly
+    # corrupted; keep the last `block` samples.
+    y = yblocks[..., taps - 1 :]
+    y = y.reshape(*y.shape[:-2], -1)
+    return y[..., :t]
+
+
+class PartitionedFIR:
+    """Uniformly partitioned overlap-save convolution (frequency-domain
+    delay line). The long impulse response is split into P partitions of
+    `block` taps; each incoming block costs one rfft + P
+    convolve_accumulates + one irfft — the structure that makes the
+    reference's fused "ab += a*b*scaling" primitive the hot op
+    (/root/reference/simd/chowdsp_fft_impl_sse.cpp:1603-1645).
+
+    Functional style: `init_state()` returns the FDL pytree; `step()` maps
+    (state, block) -> (state, filtered block). Use `partitioned_fir_apply`
+    for whole (batched) streams via lax.scan.
+    """
+
+    def __init__(self, h: jax.Array, block: int = 1024, engine: str = "auto"):
+        h = jnp.asarray(h, jnp.float32)
+        self.block = int(block)
+        self.n = 2 * self.block  # 50% overlap-save
+        self.engine = engine
+        self.plan = api.cached_plan(self.n, api.FFT_REAL)
+        taps = h.shape[-1]
+        self.partitions = -(-taps // self.block)
+        hpad = jnp.pad(
+            h, [(0, 0)] * (h.ndim - 1) + [(0, self.partitions * self.block - taps)]
+        )
+        hparts = hpad.reshape(*h.shape[:-1], self.partitions, self.block)
+        hparts = jnp.pad(
+            hparts, [(0, 0)] * (h.ndim) + [(0, self.n - self.block)]
+        )
+        # (..., P, bins) frequency-domain partitions.
+        self.hspec = api.rfft_unordered(hparts, plan=self.plan, engine=self.engine)
+
+    def init_state(self, batch_shape: tuple[int, ...] = ()) -> dict:
+        bins = self.plan.spectrum_bins
+        return {
+            "fdl": jnp.zeros((*batch_shape, self.partitions, bins), jnp.complex64),
+            "prev": jnp.zeros((*batch_shape, self.block), jnp.float32),
+        }
+
+    def step(self, state: dict, xblock: jax.Array) -> tuple[dict, jax.Array]:
+        """Process one (..., block) input block -> (..., block) output."""
+        frame = jnp.concatenate([state["prev"], xblock], axis=-1)  # (..., n)
+        xspec = api.rfft_unordered(frame, plan=self.plan, engine=self.engine)
+        fdl = jnp.roll(state["fdl"], 1, axis=-2)
+        fdl = fdl.at[..., 0, :].set(xspec)
+        # y_spec = sum_p fdl[p] * h[p]  — P fused convolve-accumulates.
+        acc = jnp.zeros_like(xspec)
+        for p in range(self.partitions):
+            acc = api.convolve_accumulate(fdl[..., p, :], self.hspec[..., p, :], ab=acc)
+        yfull = api.irfft_unordered(acc, plan=self.plan, engine=self.engine) * (1.0 / self.n)
+        y = yfull[..., self.block :]  # valid half (overlap-save)
+        return {"fdl": fdl, "prev": xblock}, y
+
+
+def partitioned_fir_apply(
+    x: jax.Array, h: jax.Array, block: int = 1024, engine: str = "auto"
+) -> jax.Array:
+    """Filter (..., T) streams with a long FIR `h` via PartitionedFIR +
+    lax.scan over blocks. Returns (..., T) (zero-state, truncated)."""
+    fir = PartitionedFIR(h, block=block, engine=engine)
+    t = x.shape[-1]
+    nb = -(-t // fir.block)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * fir.block - t)])
+    blocks = xp.reshape(*x.shape[:-1], nb, fir.block)
+    blocks = jnp.moveaxis(blocks, -2, 0)  # (nb, ..., block)
+    state = fir.init_state(x.shape[:-1])
+
+    def body(st, xb):
+        st, y = fir.step(st, xb)
+        return st, y
+
+    _, ys = jax.lax.scan(body, state, blocks)
+    y = jnp.moveaxis(ys, 0, -2).reshape(*x.shape[:-1], nb * fir.block)
+    return y[..., :t]

@@ -1,0 +1,96 @@
+"""Polyphase FIR decimation / interpolation.
+
+Part of the streaming SDR chain (BASELINE.json configs 3-5). The reference
+library has no resampler — this is new TPU-native surface area around the
+FFT core. The polyphase structure maps well to the MXU: each output sample
+is a dot product of tap phases, expressed below through
+`lax.conv_general_dilated`, which XLA lowers to MXU convolutions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["polyphase_decimate", "polyphase_interpolate", "design_lowpass"]
+
+
+def design_lowpass(taps: int, cutoff: float, window: str = "hamming") -> jnp.ndarray:
+    """Windowed-sinc low-pass FIR design (cutoff in normalized Nyquist
+    units, 0..1). Minimal, dependency-free equivalent of
+    scipy.signal.firwin for the chain's internal filters."""
+    import numpy as np
+
+    n = np.arange(taps, dtype=np.float64) - (taps - 1) / 2.0
+    h = np.sinc(cutoff * n) * cutoff
+    if window == "hamming":
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(taps) / (taps - 1))
+    elif window == "blackman":
+        w = (
+            0.42
+            - 0.5 * np.cos(2 * np.pi * np.arange(taps) / (taps - 1))
+            + 0.08 * np.cos(4 * np.pi * np.arange(taps) / (taps - 1))
+        )
+    else:
+        w = np.ones(taps)
+    h = h * w
+    h = h / h.sum()
+    return jnp.asarray(h, jnp.float32)
+
+
+def _conv_valid(x: jax.Array, h: jax.Array, stride: int) -> jax.Array:
+    """Strided valid correlation of (B, T) with (taps,) -> (B, T_out)."""
+    lhs = x[:, None, :]  # (B, C=1, T)
+    rhs = jnp.flip(h, -1)[None, None, :]  # (O=1, I=1, taps) conv kernel
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[:, 0, :]
+
+
+def polyphase_decimate(x: jax.Array, h: jax.Array, factor: int) -> jax.Array:
+    """Decimate (..., T) by `factor` after FIR anti-alias filtering.
+
+    Equivalent to scipy.signal.upfirdn(h, x, 1, factor) restricted to the
+    first T//factor full-history outputs (zero-padded warmup at the left
+    edge, matching lfilter-then-downsample semantics).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    taps = h.shape[-1]
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    xb = x.reshape(-1, t)
+    xb = jnp.pad(xb, ((0, 0), (taps - 1, 0)))  # zero initial state
+    y = _conv_valid(xb, h, stride=factor)
+    return y.reshape(*batch_shape, -1)
+
+
+def polyphase_interpolate(x: jax.Array, h: jax.Array, factor: int) -> jax.Array:
+    """Upsample (..., T) by `factor` (zero-stuff + FIR). Output gain
+    `factor` is applied so passband amplitude is preserved."""
+    x = jnp.asarray(x, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    taps = h.shape[-1]
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    xb = x.reshape(-1, t)
+    lhs = xb[:, None, :]
+    rhs = jnp.flip(h, -1)[None, None, :] * factor
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding=[(taps - 1, taps - 1 + factor - 1)],
+        lhs_dilation=(factor,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    y = out[:, 0, : t * factor + taps - 1]
+    y = y[:, taps - 1 :]
+    return y.reshape(*batch_shape, -1)

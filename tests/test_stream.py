@@ -1,0 +1,171 @@
+"""Streaming layer tests: OLS FIR (single + partitioned), polyphase,
+demod, channelizer — differential against scipy/numpy float64."""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+import chowdsp_fft_tpu as cf
+from chowdsp_fft_tpu import stream
+
+
+def lfilter_ref(h, x):
+    return sig.lfilter(h.astype(np.float64), [1.0], x.astype(np.float64), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Overlap-save
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("taps,t", [(33, 4000), (129, 10000), (4096, 20000)])
+def test_fir_filter_ols_matches_lfilter(taps, t, rng):
+    x = rng.standard_normal((3, t)).astype(np.float32)
+    h = rng.standard_normal(taps).astype(np.float32) / np.sqrt(taps)
+    y = np.asarray(stream.fir_filter_ols(x, h))
+    ref = lfilter_ref(h, x)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, ref, atol=5e-4, rtol=0)
+
+
+def test_fir_filter_ols_explicit_block(rng):
+    x = rng.standard_normal(5000).astype(np.float32)
+    h = rng.standard_normal(65).astype(np.float32) / 8
+    y = np.asarray(stream.fir_filter_ols(x, h, block=512))
+    np.testing.assert_allclose(y, lfilter_ref(h, x), atol=5e-4, rtol=0)
+
+
+@pytest.mark.parametrize("taps,block", [(4096, 1024), (3000, 512)])
+def test_partitioned_fir_matches_lfilter(taps, block, rng):
+    t = 16384
+    x = rng.standard_normal(t).astype(np.float32)
+    h = (rng.standard_normal(taps) / np.sqrt(taps)).astype(np.float32)
+    y = np.asarray(stream.partitioned_fir_apply(x, h, block=block))
+    ref = lfilter_ref(h, x)
+    assert y.shape == (t,)
+    np.testing.assert_allclose(y, ref, atol=1e-3, rtol=0)
+
+
+def test_partitioned_fir_batched(rng):
+    t, taps = 8192, 2048
+    x = rng.standard_normal((4, t)).astype(np.float32)
+    h = (rng.standard_normal(taps) / np.sqrt(taps)).astype(np.float32)
+    y = np.asarray(stream.partitioned_fir_apply(x, h, block=1024))
+    ref = lfilter_ref(h, x)
+    np.testing.assert_allclose(y, ref, atol=1e-3, rtol=0)
+
+
+def test_partitioned_fir_step_streaming_equivalence(rng):
+    """Block-by-block streaming must equal one-shot filtering (state
+    carry correctness — the checkpoint/resume analog for DSP state)."""
+    taps, block, nb = 1500, 512, 10
+    h = (rng.standard_normal(taps) / np.sqrt(taps)).astype(np.float32)
+    x = rng.standard_normal(nb * block).astype(np.float32)
+    fir = stream.PartitionedFIR(h, block=block)
+    st = fir.init_state()
+    outs = []
+    for i in range(nb):
+        st, y = fir.step(st, x[i * block : (i + 1) * block])
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs)
+    ref = lfilter_ref(h, x)
+    np.testing.assert_allclose(y_stream, ref, atol=1e-3, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Polyphase
+# ---------------------------------------------------------------------------
+
+
+def test_polyphase_decimate_matches_filter_then_downsample(rng):
+    t, taps, d = 4096, 48, 4
+    x = rng.standard_normal(t).astype(np.float32)
+    h = np.asarray(stream.design_lowpass(taps, 1.0 / d))
+    y = np.asarray(stream.polyphase_decimate(x, h, d))
+    ref = lfilter_ref(h, x)[::d]
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, atol=1e-5, rtol=0)
+
+
+def test_polyphase_interpolate_tone(rng):
+    # Upsampling a tone keeps its frequency and ~unit passband gain.
+    fs, f0, up = 1000.0, 37.0, 4
+    t = np.arange(2048) / fs
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    h = np.asarray(stream.design_lowpass(64, 1.0 / up))
+    y = np.asarray(stream.polyphase_interpolate(x, h, up))
+    assert y.shape[-1] == 2048 * up
+    spec = np.abs(np.fft.rfft(y[1000:-1000] * np.hanning(y.size - 2000)))
+    peak = np.argmax(spec)
+    expected = f0 / (fs * up / 2) * (spec.size - 1)
+    assert abs(peak - expected) <= 2
+
+
+def test_design_lowpass_dc_gain():
+    h = np.asarray(stream.design_lowpass(101, 0.25))
+    assert abs(h.sum() - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Demod
+# ---------------------------------------------------------------------------
+
+
+def test_fm_demod_recovers_message():
+    fs = 48000.0
+    t = np.arange(8192) / fs
+    msg = np.sin(2 * np.pi * 400 * t)
+    kf = 2 * np.pi * 3000 / fs  # frequency deviation per sample
+    phase = np.cumsum(kf * msg)
+    z = np.exp(1j * phase).astype(np.complex64)
+    y = np.asarray(stream.fm_demod(z, gain=1.0 / kf))
+    # Skip transient; compare against the message (one-sample delay ~ none)
+    np.testing.assert_allclose(y[10:], msg[10:], atol=0.02, rtol=0)
+
+
+def test_am_demod():
+    z = (3.0 + 0j) * np.exp(1j * np.linspace(0, 10, 100)).astype(np.complex64)
+    np.testing.assert_allclose(np.asarray(stream.am_demod(z)), 3.0, atol=1e-5)
+
+
+def test_dc_block_removes_dc(rng):
+    x = (rng.standard_normal(8192) + 5.0).astype(np.float32)
+    y = np.asarray(stream.dc_block(x))
+    assert abs(y[4000:].mean()) < 0.15
+    # matches scipy lfilter([1,-1],[1,-alpha])
+    ref = sig.lfilter([1, -1], [1, -0.995], x.astype(np.float64))
+    np.testing.assert_allclose(y, ref, atol=1e-3, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Channelizer
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [16, 64])
+def test_channelizer_tone_lands_in_right_channel(channels, rng):
+    c = channels
+    steps = 256
+    t = np.arange(c * steps)
+    for ch in [1, c // 2 - 1, c - 2]:
+        z = np.exp(2j * np.pi * (ch / c) * t).astype(np.complex64)
+        y = np.asarray(stream.channelize(z, c, taps_per_branch=8))
+        assert y.shape == (c, steps)
+        power = (np.abs(y) ** 2).mean(axis=-1)
+        assert power.argmax() == ch, f"tone at ch {ch} landed in {power.argmax()}"
+        # selectivity: winning channel dominates
+        others = np.delete(power, ch)
+        assert power[ch] > 20 * others.max()
+
+
+def test_channelizer_real_input(rng):
+    c, steps = 32, 128
+    x = rng.standard_normal(c * steps).astype(np.float32)
+    y = np.asarray(stream.channelize(x, c))
+    assert y.shape == (c, steps)
+    assert np.all(np.isfinite(y))
+
+
+def test_channelizer_invalid_channels():
+    with pytest.raises(cf.InvalidSizeError):
+        stream.Channelizer(7)
