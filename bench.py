@@ -1,0 +1,94 @@
+"""Headline benchmark: rfft N=4096 batch=1024 Msamples/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is the fraction of the memory-bound roofline achieved
+(the reference publishes no absolute numbers — BASELINE.md — so the
+self-established speed-of-light target from BASELINE.json is the bar:
+>= 0.90 of roofline).
+
+Methodology: the op is iterated on-device inside one jit (lax.scan) and a
+scalar reduction is fetched, because per-call wall clock on this runtime is
+dominated by a ~20ms RPC floor and block_until_ready does not sync
+(.claude/skills/verify/SKILL.md gotchas). Per-iteration time = slope
+between two loop lengths.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+N = 4096
+BATCH = 1024
+ITERS_LO, ITERS_HI = 4, 36
+
+# v5e HBM bandwidth (bytes/s); used for the roofline denominator.
+HBM_BYTES_PER_S = 819e9
+
+
+def roofline_msamples() -> float:
+    """Memory-bound speed of light for batched rfft: one read of the real
+    input + one write of the half spectrum, fp32/complex64."""
+    bytes_per_row = N * 4 + (N // 2 + 1) * 8
+    t = BATCH * bytes_per_row / HBM_BYTES_PER_S
+    return BATCH * N / t / 1e6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import chowdsp_fft_tpu as cf
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.standard_normal((BATCH, N)).astype(np.float32))
+
+    def one(v):
+        s = cf.rfft(v)  # auto engine: what a user gets
+        # Carry update must (a) depend on s so the transform can't be
+        # hoisted/elided and (b) cost far less than the transform itself.
+        # The Pallas call is opaque to XLA, so touching one column forces
+        # the whole kernel.
+        return v + s.real[:, :1] * 1e-30
+
+    def make_loop(iters):
+        @jax.jit
+        def loop(v):
+            def body(c, _):
+                return one(c), ()
+
+            out, _ = jax.lax.scan(body, v, None, length=iters)
+            return jnp.sum(out)
+
+        return loop
+
+    times = {}
+    for iters in (ITERS_LO, ITERS_HI):
+        loop = make_loop(iters)
+        float(loop(x))  # compile + warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(loop(x))
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+
+    per_iter = (times[ITERS_HI] - times[ITERS_LO]) / (ITERS_HI - ITERS_LO)
+    msps = BATCH * N / per_iter / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"rfft N={N} batch={BATCH} throughput (1 chip)",
+                "value": round(msps, 1),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msps / roofline_msamples(), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""Multi-chip sharding: meshes, halo-exchange collectives, sharded streams."""
+
+from .mesh import (  # noqa: F401
+    CHANNEL_AXIS,
+    TIME_AXIS,
+    Mesh,
+    NamedSharding,
+    P,
+    channel_time_mesh,
+    dsp_mesh,
+)
+from .sharded import (  # noqa: F401
+    halo_exchange_left,
+    shard_channels,
+    sharded_fir_ols,
+    sharded_partitioned_fir,
+)

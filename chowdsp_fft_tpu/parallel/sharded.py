@@ -1,0 +1,127 @@
+"""Sharded streaming convolution: shard_map + ICI halo exchange.
+
+The TPU-native counterpart the BASELINE north star requires on top of the
+reference's single-core library: long streams are split into contiguous
+time chunks across a mesh axis; correct linear convolution across chunk
+boundaries needs each device to see the last (taps-1) samples of its left
+neighbor — a halo exchange, done with `jax.lax.ppermute` inside
+`shard_map` so XLA schedules it on the ICI alongside the local FFT work
+(SURVEY.md section 5, "blockwise decomposition with a boundary-merge").
+
+ppermute's semantics (devices with no inbound edge receive zeros) give the
+leftmost chunk its zero initial state for free — matching lfilter
+semantics globally.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..stream import fir_filter_ols, partitioned_fir_apply
+from .mesh import TIME_AXIS, CHANNEL_AXIS
+
+__all__ = [
+    "halo_exchange_left",
+    "sharded_fir_ols",
+    "sharded_partitioned_fir",
+    "shard_channels",
+]
+
+
+def halo_exchange_left(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Inside shard_map: prepend each device's chunk with the last `halo`
+    samples of its left neighbor (zeros on device 0). x_local: (..., T_loc).
+    """
+    n = jax.lax.axis_size(axis_name)
+    tail = x_local[..., -halo:]
+    # send tail of device i to device i+1 (no wraparound: device 0 gets 0s)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    left = jax.lax.ppermute(tail, axis_name, perm)
+    return jnp.concatenate([left, x_local], axis=-1)
+
+
+def _sharded_stream_filter(
+    local_filter,
+    x: jax.Array,
+    h: jax.Array,
+    mesh: Mesh,
+    axis_name: str,
+    halo: int,
+):
+    in_specs = (
+        P(*([None] * (x.ndim - 1) + [axis_name])),
+        P(*([None] * h.ndim)),
+    )
+    out_spec = P(*([None] * (x.ndim - 1) + [axis_name]))
+
+    @functools.partial(
+        # check_vma=False: the Pallas engine's ShapeDtypeStructs don't carry
+        # varying-mesh-axes metadata; correctness is covered by the exact
+        # single-vs-sharded equivalence tests.
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def run(xl, hl):
+        xin = halo_exchange_left(xl, halo, axis_name)
+        y = local_filter(xin, hl)
+        return y[..., halo:]
+
+    return run(x, h)
+
+
+def sharded_fir_ols(
+    x: jax.Array,
+    h: jax.Array,
+    mesh: Mesh,
+    axis_name: str = TIME_AXIS,
+    block: int | None = None,
+) -> jax.Array:
+    """Overlap-save FIR over a time-sharded stream. Semantically equal to
+    stream.fir_filter_ols on the gathered stream; the halo ppermute is the
+    only inter-chip traffic (taps-1 samples per boundary per call)."""
+    taps = h.shape[-1]
+    return _sharded_stream_filter(
+        lambda xl, hl: fir_filter_ols(xl, hl, block=block),
+        x,
+        h,
+        mesh,
+        axis_name,
+        halo=taps - 1,
+    )
+
+
+def sharded_partitioned_fir(
+    x: jax.Array,
+    h: jax.Array,
+    mesh: Mesh,
+    axis_name: str = TIME_AXIS,
+    block: int = 1024,
+) -> jax.Array:
+    """Partitioned (FDL) convolution over a time-sharded stream."""
+    taps = h.shape[-1]
+    return _sharded_stream_filter(
+        lambda xl, hl: partitioned_fir_apply(xl, hl, block=block),
+        x,
+        h,
+        mesh,
+        axis_name,
+        halo=taps - 1,
+    )
+
+
+def shard_channels(x: jax.Array, mesh: Mesh, axis_name: str = CHANNEL_AXIS, dim: int = 0):
+    """Place a (C, ...) channel batch sharded over a mesh axis. Per-channel
+    transforms then run fully parallel with zero communication — the
+    multi-chip generalization of the reference's batch-free, lane-parallel
+    design (SURVEY.md section 2 row 9)."""
+    spec = [None] * x.ndim
+    spec[dim] = axis_name
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))

@@ -183,22 +183,48 @@ def _stage_twiddle_np(n: int, r: int) -> tuple[np.ndarray, np.ndarray]:
 
 @functools.lru_cache(maxsize=256)
 def _plan_tables_np(cfft_n: int) -> tuple[tuple, ...]:
-    """Cached numpy twiddle construction for a complex transform of length
-    cfft_n. Returns ((radix, m, s, tw_re, tw_im), ...) per stage."""
+    """Cached twiddle construction for a complex transform of length
+    cfft_n. Returns ((radix, m, s, tw_re, tw_im), ...) per stage.
+
+    Prefers the native C++ planner (long-double argument-reduced tables,
+    utils/native.py) and falls back to numpy float64; both are cast to
+    float32 for the engines."""
     radices = factorize(cfft_n)
+    native_tables = _native_stage_tables(cfft_n)
     out = []
     n, s = cfft_n, 1
-    for r in radices:
+    for i, r in enumerate(radices):
         m = n // r
-        tw_re, tw_im = _stage_twiddle_np(n, r)
+        if native_tables is not None:
+            re64, im64 = native_tables[i]
+            tw_re = re64.astype(np.float32)
+            tw_im = im64.astype(np.float32)
+        else:
+            tw_re, tw_im = _stage_twiddle_np(n, r)
         out.append((r, m, s, tw_re, tw_im))
         n, s = m, r * s
     assert n == 1
     return tuple(out)
 
 
+def _native_stage_tables(cfft_n: int):
+    try:
+        from .utils import native
+    except ImportError:  # pragma: no cover
+        return None
+    return native.stage_twiddles(cfft_n) if native.available() else None
+
+
 @functools.lru_cache(maxsize=256)
 def _rfft_tw_np(n: int) -> tuple[np.ndarray, np.ndarray]:
+    try:
+        from .utils import native
+    except ImportError:  # pragma: no cover
+        native = None
+    if native is not None and native.available():
+        tw = native.rfft_twiddles(n)
+        if tw is not None:
+            return tw[0].astype(np.float32), tw[1].astype(np.float32)
     k = np.arange(n // 2, dtype=np.float64)
     ang = -2.0 * np.pi * k / float(n)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)

@@ -1,0 +1,106 @@
+"""Roofline model for FFT/convolution kernels on TPU.
+
+BASELINE.json's north star demands roofline proof per kernel; this module
+is the calculator. The batched FFT is memory-bound on every TPU
+generation (2.5*N*log2(N) flops vs ~12 bytes/sample of HBM traffic), so
+the speed of light is HBM bandwidth divided by bytes moved; the merge
+matmul's MXU time is reported alongside to show which regime a config is
+in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+__all__ = ["ChipSpec", "V5E", "fft_roofline", "conv_roofline"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    hbm_bytes_per_s: float
+    bf16_flops: float  # peak MXU bf16 FLOP/s
+    f32_matmul_flops: float  # effective fp32 (multi-pass) MXU FLOP/s
+    vpu_flops: float  # fp32 vector FLOP/s
+
+
+# TPU v5e (datasheet: 197 bf16 TFLOP/s, 819 GB/s HBM; fp32 matmul via
+# multi-pass ~1/6; VPU 8x128x4 ALUs at ~0.94 GHz).
+V5E = ChipSpec(
+    name="v5e",
+    hbm_bytes_per_s=819e9,
+    bf16_flops=197e12,
+    f32_matmul_flops=33e12,
+    vpu_flops=3.9e12,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Roofline:
+    seconds_memory: float
+    seconds_compute: float
+    bound: str
+    samples_per_s: float
+
+    def fraction(self, measured_samples_per_s: float) -> float:
+        return measured_samples_per_s / self.samples_per_s
+
+
+def fft_roofline(
+    n: int,
+    batch: int,
+    kind: str = "real",
+    chip: ChipSpec = V5E,
+    merge_lanes: int = 128,
+) -> Roofline:
+    """Speed of light for a batched (r)fft of length n.
+
+    Memory: one input read + one output write.
+    Compute: butterfly flops on the VPU + the four-step merge matmul on
+    the MXU (8*N*lanes flops/transform at fp32 effective rate).
+    """
+    if kind == "real":
+        in_bytes = n * 4
+        out_bytes = (n // 2 + 1) * 8
+        cn = n // 2
+    else:
+        in_bytes = n * 8
+        out_bytes = n * 8
+        cn = n
+    t_mem = batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
+
+    bf_flops = 2.5 * cn * max(1.0, math.log2(max(2, cn // merge_lanes))) * batch
+    mm_flops = 8.0 * cn * merge_lanes * batch  # 4 real matmuls (or 3 + adds)
+    t_comp = bf_flops / chip.vpu_flops + mm_flops / chip.f32_matmul_flops
+
+    t = max(t_mem, t_comp)
+    return Roofline(
+        seconds_memory=t_mem,
+        seconds_compute=t_comp,
+        bound="memory" if t_mem >= t_comp else "compute",
+        samples_per_s=batch * n / t,
+    )
+
+
+def conv_roofline(
+    n_fft: int,
+    batch_blocks: int,
+    chip: ChipSpec = V5E,
+) -> Roofline:
+    """Speed of light for one overlap-save round (rfft + spectral multiply
+    + irfft) per block of n_fft samples: ~3 array reads + 3 writes."""
+    bytes_moved = batch_blocks * (
+        2 * (n_fft * 4 + (n_fft // 2 + 1) * 8)  # fwd + inv transforms
+        + 3 * (n_fft // 2 + 1) * 8  # multiply: read A, H, write
+    )
+    t_mem = bytes_moved / chip.hbm_bytes_per_s
+    fft_r = fft_roofline(n_fft, batch_blocks, "real", chip)
+    t_comp = 2 * fft_r.seconds_compute
+    t = max(t_mem, t_comp)
+    return Roofline(
+        seconds_memory=t_mem,
+        seconds_compute=t_comp,
+        bound="memory" if t_mem >= t_comp else "compute",
+        samples_per_s=batch_blocks * n_fft / t,
+    )

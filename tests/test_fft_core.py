@@ -118,7 +118,8 @@ def test_linearity(rng):
     y = rng.standard_normal((n,)).astype(np.float32)
     lhs = np.asarray(cf.rfft(2.0 * x + 3.0 * y))
     rhs = 2.0 * np.asarray(cf.rfft(x)) + 3.0 * np.asarray(cf.rfft(y))
-    np.testing.assert_allclose(lhs, rhs, atol=tol(n), rtol=0)
+    # both sides are float32 computations: allow 2x the differential bound
+    np.testing.assert_allclose(lhs, rhs, atol=2 * tol(n), rtol=0)
 
 
 # ---------------------------------------------------------------------------

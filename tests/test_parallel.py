@@ -1,0 +1,134 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+These are the distributed tests the reference cannot have (it is
+single-core; SURVEY.md section 2 row 10): halo-exchange correctness at
+chunk boundaries — the classic off-by-one surface — is checked by exact
+equivalence with the single-device filter.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.signal as sig
+
+import chowdsp_fft_tpu as cf
+from chowdsp_fft_tpu import parallel, stream
+from chowdsp_fft_tpu.models import SDRChain, SDRChainConfig
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return parallel.dsp_mesh(8, axis=parallel.TIME_AXIS)
+
+
+def lfilter_ref(h, x):
+    return sig.lfilter(np.asarray(h, np.float64), [1.0], np.asarray(x, np.float64), axis=-1)
+
+
+def test_sharded_fir_ols_matches_single_device(mesh8, rng):
+    t, taps = 8 * 2048, 127
+    x = rng.standard_normal(t).astype(np.float32)
+    h = (rng.standard_normal(taps) / 10).astype(np.float32)
+    y = np.asarray(parallel.sharded_fir_ols(jnp.asarray(x), jnp.asarray(h), mesh8))
+    ref = lfilter_ref(h, x)
+    np.testing.assert_allclose(y, ref, atol=5e-4, rtol=0)
+
+
+def test_sharded_fir_ols_batched_channels(mesh8, rng):
+    t, taps, c = 8 * 1024, 65, 3
+    x = rng.standard_normal((c, t)).astype(np.float32)
+    h = (rng.standard_normal(taps) / 8).astype(np.float32)
+    y = np.asarray(parallel.sharded_fir_ols(jnp.asarray(x), jnp.asarray(h), mesh8))
+    np.testing.assert_allclose(y, lfilter_ref(h, x), atol=5e-4, rtol=0)
+
+
+def test_sharded_partitioned_fir_long_filter(mesh8, rng):
+    # 64 channels x 10s @ 48kHz analog, scaled down for CPU test speed:
+    # long 4096-tap filter across 8 time shards.
+    t, taps = 8 * 4096, 4096
+    x = rng.standard_normal(t).astype(np.float32)
+    h = (rng.standard_normal(taps) / np.sqrt(taps)).astype(np.float32)
+    y = np.asarray(
+        parallel.sharded_partitioned_fir(jnp.asarray(x), jnp.asarray(h), mesh8, block=1024)
+    )
+    np.testing.assert_allclose(y, lfilter_ref(h, x), atol=2e-3, rtol=0)
+
+
+def test_halo_exchange_boundary_exactness(mesh8, rng):
+    """The first taps-1 outputs of every shard depend on the neighbor's
+    tail; compare those samples specifically."""
+    t, taps = 8 * 512, 33
+    x = rng.standard_normal(t).astype(np.float32)
+    h = (rng.standard_normal(taps) / 4).astype(np.float32)
+    y = np.asarray(parallel.sharded_fir_ols(jnp.asarray(x), jnp.asarray(h), mesh8))
+    ref = lfilter_ref(h, x)
+    for d in range(1, 8):
+        lo = d * 512
+        seg = slice(lo, lo + taps - 1)
+        np.testing.assert_allclose(y[seg], ref[seg], atol=5e-4, rtol=0)
+
+
+def test_shard_channels_placement(mesh8, rng):
+    x = rng.standard_normal((8, 256)).astype(np.float32)
+    xs = parallel.shard_channels(jnp.asarray(x), mesh8, axis_name=parallel.TIME_AXIS)
+    assert len(xs.sharding.device_set) == 8
+    # per-channel FFT still correct under sharding
+    spec = np.asarray(cf.rfft(xs))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(spec, ref, atol=2e-7 * 256, rtol=0)
+
+
+def test_sdr_chain_single_device(rng):
+    cfg = SDRChainConfig(channels=16, decimation=2, fm_gain=1.0)
+    chain = SDRChain(cfg)
+    t = 16 * 2 * 256 * 4
+    iq = (rng.standard_normal(t) + 1j * rng.standard_normal(t)).astype(np.complex64)
+    audio = np.asarray(jax.jit(chain.__call__)(jnp.asarray(iq)))
+    assert audio.shape[0] == 16
+    assert np.all(np.isfinite(audio))
+
+
+def test_sdr_chain_sharded_matches_single(mesh8, rng):
+    cfg = SDRChainConfig(channels=16, decimation=2)
+    chain = SDRChain(cfg)
+    t = 8 * 16 * 2 * 128
+    iq = (rng.standard_normal(t) + 1j * rng.standard_normal(t)).astype(np.complex64)
+    single = np.asarray(jax.jit(chain.__call__)(jnp.asarray(iq)))
+    step = chain.sharded_step(mesh8)
+    with mesh8:
+        sharded = np.asarray(step(jnp.asarray(iq)))
+    np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=0)
+
+
+def test_sdr_chain_recovers_fm_tone(rng):
+    """End-to-end validation: an FM-modulated tone placed in channel k is
+    demodulated back to its message frequency."""
+    cfg = SDRChainConfig(channels=16, decimation=2, audio_decimation=2)
+    chain = SDRChain(cfg)
+    c, dec, steps = 16, 2, 1024
+    t_wide = np.arange(c * steps * dec, dtype=np.float64)
+    ch = 5
+    # FM carrier centered on channel ch of the post-decimation bank:
+    # wideband frequency = ch / (c * dec) cycles/sample.
+    msg_f = 0.001  # cycles per wideband sample (well inside audio band)
+    dev = 0.1 / (c * dec)  # frequency deviation, cycles per wideband sample
+    msg = np.sin(2 * np.pi * msg_f * t_wide)
+    phase = 2 * np.pi * (ch / (c * dec)) * t_wide + 2 * np.pi * dev * np.cumsum(msg)
+    iq = np.exp(1j * phase).astype(np.complex64)
+    # The carrier's energy must land in channel `ch` of the bank...
+    bank = np.asarray(
+        jax.jit(lambda v: jnp.abs(chain.channelizer(chain.front_end(v))) ** 2)(
+            jnp.asarray(iq)
+        )
+    )
+    assert bank.mean(axis=-1).argmax() == ch
+    # ...and its demodulated audio must peak at the message frequency.
+    audio = np.asarray(jax.jit(chain.__call__)(jnp.asarray(iq)))
+    a = audio[ch][32:]  # drop filter transient
+    spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(a.size)))
+    # audio sample period = dec * c * audio_decimation wideband samples
+    expected_bin = msg_f * dec * c * cfg.audio_decimation * a.size
+    assert abs(spec.argmax() - expected_bin) <= 2
