@@ -24,7 +24,10 @@ import numpy as np
 
 N = 4096
 BATCH = 1024
-ITERS_LO, ITERS_HI = 4, 36
+# 256-iteration slope: the RPC floor has multi-ms jitter, so the loop-length
+# delta must dwarf it (measured: 32-iter deltas produce garbage, including
+# negative slopes — benchmarks/NOTES.md).
+ITERS_LO, ITERS_HI = 16, 272
 
 # v5e HBM bandwidth (bytes/s); used for the roofline denominator.
 HBM_BYTES_PER_S = 819e9
@@ -47,12 +50,17 @@ def main() -> None:
     x = jax.device_put(rng.standard_normal((BATCH, N)).astype(np.float32))
 
     def one(v):
-        s = cf.rfft(v)  # auto engine: what a user gets
-        # Carry update must (a) depend on s so the transform can't be
-        # hoisted/elided and (b) cost far less than the transform itself.
+        # Auto engine, packed-plane fast path: the direct analog of the
+        # reference's fft_transform(REAL), whose output is also the packed
+        # half-spectrum (/root/reference/chowdsp_fft.h:124-138) — the
+        # canonical complex64 view is an extra convenience the C library
+        # never offers.
+        re, im = cf.rfft_packed(v)
+        # Carry update must (a) depend on the result so the transform can't
+        # be hoisted/elided and (b) cost far less than the transform itself.
         # The Pallas call is opaque to XLA, so touching one column forces
         # the whole kernel.
-        return v + s.real[:, :1] * 1e-30
+        return v + re[:, :1] * 1e-30
 
     def make_loop(iters):
         @jax.jit

@@ -32,14 +32,21 @@ from .api import (  # noqa: F401
     fft_unordered,
     ifft,
     ifft_unordered,
+    convolve_accumulate_packed,
     irfft,
+    irfft_packed,
+    irfft_packed_unordered,
     irfft_unordered,
     is_valid_size,
     make_plan,
     multiply_spectra,
+    packed_planes_to_spectrum,
     plan_bytes,
     rfft,
+    rfft_packed,
+    rfft_packed_unordered,
     rfft_unordered,
+    spectrum_to_packed_planes,
     vector_width_bytes,
 )
 

@@ -51,7 +51,13 @@ from .plans import (
     make_plan,
 )
 from .ops import stockham
-from .ops.convolve import accumulate, convolve_accumulate, multiply_spectra
+from .ops.convolve import (
+    accumulate,
+    convolve_accumulate,
+    convolve_accumulate_packed,
+    multiply_spectra,
+)
+from .ops.layout import packed_planes_to_spectrum, spectrum_to_packed_planes
 
 __all__ = [
     "FFT_FORWARD",
@@ -74,9 +80,16 @@ __all__ = [
     "ifft_unordered",
     "rfft_unordered",
     "irfft_unordered",
+    "rfft_packed",
+    "irfft_packed",
+    "rfft_packed_unordered",
+    "irfft_packed_unordered",
     "convolve_accumulate",
+    "convolve_accumulate_packed",
     "multiply_spectra",
     "accumulate",
+    "spectrum_to_packed_planes",
+    "packed_planes_to_spectrum",
 ]
 
 # ---------------------------------------------------------------------------
@@ -91,6 +104,14 @@ def register_engine(name: str, fns: dict[str, Callable], supports: Callable[[FFT
     _ENGINES[name] = {"fns": fns, "supports": supports}
 
 
+def _stockham_rfft_packed(x, plan=None):
+    return spectrum_to_packed_planes(stockham.rfft(x, plan))
+
+
+def _stockham_irfft_packed(re, im, plan=None):
+    return stockham.irfft(packed_planes_to_spectrum(re, im), plan)
+
+
 register_engine(
     "stockham",
     {
@@ -102,6 +123,10 @@ register_engine(
         "cfft_unordered": stockham.cfft,
         "rfft_unordered": stockham.rfft,
         "irfft_unordered": stockham.irfft,
+        "rfft_packed": _stockham_rfft_packed,
+        "irfft_packed": _stockham_irfft_packed,
+        "rfft_packed_unordered": _stockham_rfft_packed,
+        "irfft_packed_unordered": _stockham_irfft_packed,
     },
     supports=lambda plan: True,
 )
@@ -195,6 +220,42 @@ def ifft_unordered(spec: jax.Array, plan: FFTPlan | None = None, engine: str = "
 def rfft_unordered(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
     plan = plan or cached_plan(x.shape[-1], FFT_REAL)
     return _pick_engine(plan, engine)["rfft_unordered"](x, plan)
+
+
+def rfft_packed(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto"):
+    """Real FFT -> packed SoA half-spectrum planes ((..., N/2) f32 re, im).
+
+    The framework's fastest real-transform path (one fused kernel on the
+    Pallas engine; minimal HBM traffic). Layout: re[k]/im[k] hold bin k for
+    k in [1, N/2); re[0] = DC, im[0] = Nyquist — the SoA rendition of
+    pffft's packed real spectrum (/root/reference/chowdsp_fft_juce/
+    chowdsp_fft_juce.cpp:48-61). Pair with :func:`irfft_packed` and
+    :func:`convolve_accumulate_packed`."""
+    plan = plan or cached_plan(x.shape[-1], FFT_REAL)
+    return _pick_engine(plan, engine)["rfft_packed"](x, plan)
+
+
+def irfft_packed(
+    re: jax.Array, im: jax.Array, plan: FFTPlan | None = None, engine: str = "auto"
+) -> jax.Array:
+    """Unscaled inverse of :func:`rfft_packed`: (..., N) f32 == N * x."""
+    plan = plan or cached_plan(2 * re.shape[-1], FFT_REAL)
+    return _pick_engine(plan, engine)["irfft_packed"](re, im, plan)
+
+
+def rfft_packed_unordered(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto"):
+    """Packed real FFT in engine-internal bin order (bin 0 stays at index 0,
+    so convolve_accumulate_packed applies unchanged) — the packed analog of
+    ``fft_transform_unordered`` (/root/reference/chowdsp_fft.h:140-145)."""
+    plan = plan or cached_plan(x.shape[-1], FFT_REAL)
+    return _pick_engine(plan, engine)["rfft_packed_unordered"](x, plan)
+
+
+def irfft_packed_unordered(
+    re: jax.Array, im: jax.Array, plan: FFTPlan | None = None, engine: str = "auto"
+) -> jax.Array:
+    plan = plan or cached_plan(2 * re.shape[-1], FFT_REAL)
+    return _pick_engine(plan, engine)["irfft_packed_unordered"](re, im, plan)
 
 
 def irfft_unordered(spec: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:

@@ -21,7 +21,42 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["convolve_accumulate", "multiply_spectra", "accumulate"]
+__all__ = [
+    "convolve_accumulate",
+    "convolve_accumulate_packed",
+    "multiply_spectra",
+    "accumulate",
+]
+
+
+def convolve_accumulate_packed(
+    a: tuple[jax.Array, jax.Array],
+    b: tuple[jax.Array, jax.Array],
+    ab: tuple[jax.Array, jax.Array] | None = None,
+    scaling: float | jax.Array = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """``ab += a * b * scaling`` on packed SoA real-spectrum planes.
+
+    Bin 0 packs two purely-real bins (DC in re[0], Nyquist in im[0]), so
+    the complex product there degenerates to two real products — the exact
+    packed-layout patch-up the reference does scalar-wise at
+    /root/reference/simd/chowdsp_fft_impl_sse.cpp:1640-1644. Works in
+    either ordered or engine-internal bin order (bin 0 is index 0 in both),
+    which is what makes the unordered fast-convolution chain
+    (rfft_packed_unordered -> this -> irfft_packed_unordered) legal."""
+    a_re, a_im = a
+    b_re, b_im = b
+    pr = a_re * b_re - a_im * b_im
+    pi = a_re * b_im + a_im * b_re
+    col = jax.lax.broadcasted_iota(jnp.int32, pr.shape, pr.ndim - 1)
+    pr = jnp.where(col == 0, a_re * b_re, pr)  # DC * DC
+    pi = jnp.where(col == 0, a_im * b_im, pi)  # Nyq * Nyq
+    if scaling != 1.0:
+        s = jnp.asarray(scaling, jnp.float32)
+        pr, pi = pr * s, pi * s
+    if ab is None:
+        return pr, pi
+    return ab[0] + pr, ab[1] + pi
 
 
 def convolve_accumulate(

@@ -22,9 +22,32 @@ import jax.numpy as jnp
 __all__ = [
     "to_packed_real_spectrum",
     "from_packed_real_spectrum",
+    "spectrum_to_packed_planes",
+    "packed_planes_to_spectrum",
     "interleave_complex",
     "deinterleave_complex",
 ]
+
+
+def spectrum_to_packed_planes(spec: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Canonical (..., N//2+1) complex spectrum -> SoA packed planes
+    ((..., N/2) f32 re, (..., N/2) f32 im) with Nyquist stored in im[0].
+
+    This is the plane-separated rendition of the pffft packed layout (the
+    interleaved original is :func:`to_packed_real_spectrum`); it is the
+    native output format of the Pallas engine's fused real transforms."""
+    re = spec[..., :-1].real.astype(jnp.float32)
+    nyq = spec[..., -1:].real.astype(jnp.float32)
+    im = jnp.concatenate([nyq, spec[..., 1:-1].imag.astype(jnp.float32)], axis=-1)
+    return re, im
+
+
+def packed_planes_to_spectrum(re: jax.Array, im: jax.Array) -> jax.Array:
+    """Inverse of :func:`spectrum_to_packed_planes`."""
+    nyq = im[..., :1]
+    zeros = jnp.zeros_like(nyq)
+    main = jax.lax.complex(re, jnp.concatenate([zeros, im[..., 1:]], axis=-1))
+    return jnp.concatenate([main, jax.lax.complex(nyq, zeros)], axis=-1).astype(jnp.complex64)
 
 
 def to_packed_real_spectrum(spec: jax.Array) -> jax.Array:

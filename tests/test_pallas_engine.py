@@ -128,3 +128,73 @@ def test_odd_batch_padding(rng):
     y = rand_complex(rng, (n,))
     got1 = np.asarray(cf.fft(y, engine="pallas"))
     np.testing.assert_allclose(got1, np.fft.fft(y.astype(np.complex128)), atol=tol(n), rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Packed-plane real transforms (the fused fast path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_pallas_rfft_packed_vs_numpy(n, rng):
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    re, im = map(np.asarray, cf.rfft_packed(x, engine="pallas"))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert np.abs(re[:, 1:] - ref[:, 1 : n // 2].real).max() < tol(n)
+    assert np.abs(im[:, 1:] - ref[:, 1 : n // 2].imag).max() < tol(n)
+    assert np.abs(re[:, 0] - ref[:, 0].real).max() < tol(n)  # DC
+    assert np.abs(im[:, 0] - ref[:, -1].real).max() < tol(n)  # Nyquist in im[0]
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_pallas_rfft_packed_roundtrip(n, rng):
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    re, im = cf.rfft_packed(x, engine="pallas")
+    back = np.asarray(cf.irfft_packed(re, im, engine="pallas")) / n
+    assert np.abs(back - x).max() < tol(n)
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_pallas_rfft_packed_unordered_roundtrip(n, rng):
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    re, im = cf.rfft_packed_unordered(x, engine="pallas")
+    back = np.asarray(cf.irfft_packed_unordered(re, im, engine="pallas")) / n
+    assert np.abs(back - x).max() < tol(n)
+
+
+def test_pallas_packed_matches_spectrum_converter(rng):
+    """Ordered packed planes agree with spectrum_to_packed_planes(rfft)."""
+    n = 1024
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = map(np.asarray, cf.rfft_packed(x, engine="pallas"))
+    re2, im2 = map(np.asarray, cf.spectrum_to_packed_planes(cf.rfft(x, engine="stockham")))
+    assert np.abs(re - re2).max() < tol(n)
+    assert np.abs(im - im2).max() < tol(n)
+
+
+def test_pallas_packed_unordered_conv_e2e(rng):
+    """rfft_packed_unordered -> convolve_accumulate_packed ->
+    irfft_packed_unordered == circular convolution (the reference's
+    fast-convolution pipeline, test.cpp:131-232, in packed planes)."""
+    n = 2048
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    h = rng.standard_normal((3, n)).astype(np.float32)
+    a = cf.rfft_packed_unordered(x, engine="pallas")
+    b = cf.rfft_packed_unordered(h, engine="pallas")
+    pr, pi = cf.convolve_accumulate_packed(a, b, scaling=1.0 / n)
+    y = np.asarray(cf.irfft_packed_unordered(pr, pi, engine="pallas"))
+    ref = np.fft.irfft(
+        np.fft.rfft(x.astype(np.float64)) * np.fft.rfft(h.astype(np.float64))
+    )
+    assert np.abs(y - ref).max() < 20 * tol(n)  # conv values scale ~sqrt(n)
+
+
+def test_convolve_accumulate_packed_accumulates(rng):
+    n = 512
+    x = rng.standard_normal((2, n // 2)).astype(np.float32)
+    a = (x, x * 2)
+    b = (x * 3, x * 0.5)
+    base_r, base_i = cf.convolve_accumulate_packed(a, b)
+    acc_r, acc_i = cf.convolve_accumulate_packed(a, b, ab=(base_r, base_i))
+    assert np.allclose(np.asarray(acc_r), 2 * np.asarray(base_r))
+    assert np.allclose(np.asarray(acc_i), 2 * np.asarray(base_i))
