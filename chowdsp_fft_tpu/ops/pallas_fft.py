@@ -58,6 +58,7 @@ __all__ = [
 LANES = 128  # TPU vector lane count == the merge radix
 _MIN_N = 2 * LANES  # smallest N with a nontrivial sublane FFT
 _MAX_N = 32768  # VMEM budget bound for a single-block transform
+_MAX_COMPOSITE = 1 << 20  # two-level four-step (HBM-staged) upper bound
 
 # VMEM working set per grid step scales as batch_tile * N; keep
 # batch_tile * N under this so in/out double-buffered planes + butterfly
@@ -81,10 +82,12 @@ def supports_plan(plan: FFTPlan) -> bool:
     if jax.dtypes.canonicalize_dtype(jnp.float32) != jnp.float32:
         return False
     if plan.kind == FFT_REAL:
-        # Fused direct-real four-step: needs N/128 a power of two >= 2.
-        return _is_pow2(plan.n) and _MIN_N <= plan.n <= 2 * _MAX_N
+        # Fused direct-real four-step up to 2*_MAX_N; larger sizes go
+        # through the half-complex split over the (possibly composite)
+        # complex engine.
+        return _is_pow2(plan.n) and _MIN_N <= plan.n <= _MAX_COMPOSITE
     n = plan.cfft_n
-    return _is_pow2(n) and _MIN_N <= n <= _MAX_N
+    return _is_pow2(n) and _MIN_N <= n <= _MAX_COMPOSITE
 
 
 def _interpret() -> bool:
@@ -786,8 +789,112 @@ def _digit_transpose(y: jax.Array, n: int, inverse: bool) -> jax.Array:
     return y.reshape(b, LANES, n1).swapaxes(-1, -2).reshape(b, n)
 
 
+# ---------------------------------------------------------------------------
+# Composite (HBM-staged) transforms for N beyond one kernel's VMEM budget:
+# a second four-step level at the XLA level. N = A * C; length-A kernel FFTs
+# down the columns, a (C, A) twiddle, length-C kernel FFTs along the rows.
+# The kernels run in their *unordered* (digit-transposed) layout; rather
+# than paying two reorder passes, the sub-FFT permutation pi is absorbed
+# into the twiddle table (host-side) and into the composite bin map:
+# position (j, j2) holds X[pi_A(j) + A*pi_C(j2)], and natural order is ONE
+# structured 5D transpose (no gathers). This mirrors how the reference
+# composes its SIMD-width sub-FFTs with a merge permutation it likewise
+# never materializes (the pffft "internal layout", SURVEY.md section 2 row 9).
+# ---------------------------------------------------------------------------
+
+
+def _split_large(n: int) -> tuple[int, int]:
+    """n = A * C with both factors kernel-sized powers of two."""
+    lg = n.bit_length() - 1
+    a = 1 << ((lg + 1) // 2)
+    c = n // a
+    assert _MIN_N <= c <= a <= _MAX_N, (n, a, c)
+    return a, c
+
+
+def _kernel_perm(n: int) -> np.ndarray:
+    """pi(q): the bin stored at flat position q of the kernel's unordered
+    output (q = k1*128 + k2 holds X[k1 + (n/128)*k2])."""
+    n1 = n // LANES
+    q = np.arange(n, dtype=np.int64)
+    return (q // LANES) + n1 * (q % LANES)
+
+
+@functools.lru_cache(maxsize=16)
+def _large_twiddle(n: int, forward: bool):
+    """(C, A) four-step twiddle W_N^(sgn * c * pi_A(j)), float64 -> f32,
+    columns pre-permuted by the kernel's unordered layout."""
+    a, c = _split_large(n)
+    sgn = -1.0 if forward else 1.0
+    k1 = _kernel_perm(a).astype(np.float64)[None, :]
+    cc = np.arange(c, dtype=np.float64)[:, None]
+    ang = sgn * 2.0 * np.pi * (cc * k1) / float(n)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _composite_reorder(y: jax.Array, n: int, inverse: bool) -> jax.Array:
+    """Composite-unordered (j, j2) layout <-> natural bin order as one 5D
+    transpose: g.reshape(B, n1A, 128, n1C, 128) axes (k1A, k2A, k1C, k2C)
+    hold X[k1A + n1A*k2A + A*(k1C + n1C*k2C)]; reversing the four axes makes
+    the row-major flat index equal the bin index. Self-inverse."""
+    a, c = _split_large(n)
+    b = y.shape[0]
+    if not inverse:
+        y5 = y.reshape(b, a // LANES, LANES, c // LANES, LANES)
+    else:
+        y5 = y.reshape(b, LANES, c // LANES, LANES, a // LANES)
+    return jnp.transpose(y5, (0, 4, 3, 2, 1)).reshape(b, n)
+
+
+def _cfft_pair_large(xre, xim, n, forward, ordered):
+    a, c = _split_large(n)
+    b = xre.shape[0]
+    twr, twi = (jnp.asarray(t) for t in _large_twiddle(n, forward))
+
+    def col_major(z):  # (B, A, C) -> (B*C, A)
+        return jnp.swapaxes(z.reshape(b, a, c), 1, 2).reshape(b * c, a)
+
+    def row_major(z):  # (B, C, A) -> (B*A, C)
+        return jnp.swapaxes(z.reshape(b, c, a), 1, 2).reshape(b * a, c)
+
+    if forward:
+        # FFTs of length A down the columns (unordered over pi_A) ...
+        fr, fi = _pallas_cfft_pair(col_major(xre), col_major(xim), a, True, False)
+        fr = fr.reshape(b, c, a)
+        fi = fi.reshape(b, c, a)
+        # ... permuted four-step twiddle ...
+        fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
+        # ... FFTs of length C along the rows (unordered over pi_C).
+        gr, gi = _pallas_cfft_pair(row_major(fr), row_major(fi), c, True, False)
+        gr = gr.reshape(b, a * c)
+        gi = gi.reshape(b, a * c)
+        if ordered:
+            gr = _composite_reorder(gr, n, inverse=False)
+            gi = _composite_reorder(gi, n, inverse=False)
+        return gr, gi
+
+    # Backward: mirror of the forward chain.
+    if ordered:
+        xre = _composite_reorder(xre, n, inverse=True)
+        xim = _composite_reorder(xim, n, inverse=True)
+    gr, gi = _pallas_cfft_pair(
+        xre.reshape(b * a, c), xim.reshape(b * a, c), c, False, True
+    )
+    gr = jnp.swapaxes(gr.reshape(b, a, c), 1, 2)  # (B, C, A) axes (c, j)
+    gi = jnp.swapaxes(gi.reshape(b, a, c), 1, 2)
+    gr, gi = gr * twr - gi * twi, gr * twi + gi * twr
+    fr, fi = _pallas_cfft_pair(
+        gr.reshape(b * c, a), gi.reshape(b * c, a), a, False, True
+    )
+    fr = jnp.swapaxes(fr.reshape(b, c, a), 1, 2).reshape(b, n)  # n = a*C + c
+    fi = jnp.swapaxes(fi.reshape(b, c, a), 1, 2).reshape(b, n)
+    return fr, fi
+
+
 def _cfft_pair(xre, xim, n, direction, ordered):
     forward = direction == FFT_FORWARD
+    if n > _MAX_N:
+        return _cfft_pair_large(xre, xim, n, forward, ordered)
     if forward:
         yre, yim = _pallas_cfft_pair(xre, xim, n, forward=True, reverse_order=False)
         if ordered:
@@ -824,6 +931,9 @@ def cfft_unordered(x, plan=None, direction=FFT_FORWARD):
     return _cfft_complex(x, plan, direction, ordered=False)
 
 
+_MAX_FUSED_REAL = 2 * _MAX_N  # fused direct-real kernel bound
+
+
 def rfft_packed(x, plan=None, ordered: bool = True):
     """Real FFT -> packed SoA half-spectrum planes ((..., N/2) f32 x2).
 
@@ -831,8 +941,14 @@ def rfft_packed(x, plan=None, ordered: bool = True):
     per row. ``ordered=False`` leaves bins in the engine-internal
     digit-transposed order (pairs with ``irfft_packed(ordered=False)`` and
     the packed convolve — the fft_transform_unordered capability,
-    /root/reference/chowdsp_fft.h:140-154)."""
+    /root/reference/chowdsp_fft.h:140-154). Sizes beyond the fused-kernel
+    VMEM bound fall back to the half-complex split over the (possibly
+    composite) complex engine; their "unordered" layout is the ordered one."""
     n = x.shape[-1]
+    if n > _MAX_FUSED_REAL:
+        from .layout import spectrum_to_packed_planes
+
+        return spectrum_to_packed_planes(_rfft_via_half(x, plan))
     xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
     yre, yim = _pallas_rfft_packed(xf, n, ordered)
     m = n // 2
@@ -843,10 +959,53 @@ def irfft_packed(yre, yim, plan=None, ordered: bool = True):
     """Unscaled inverse of :func:`rfft_packed` -> (..., N) f32."""
     m = yre.shape[-1]
     n = 2 * m
+    if n > _MAX_FUSED_REAL:
+        from .layout import packed_planes_to_spectrum
+
+        return _irfft_via_half(packed_planes_to_spectrum(yre, yim), plan)
     rf, batch_shape = _flatten_batch(yre.astype(jnp.float32))
     if_, _ = _flatten_batch(yim.astype(jnp.float32))
     x = _pallas_irfft_packed(rf, if_, n, ordered)
     return x.reshape(*batch_shape, n)
+
+
+def _rfft_via_half(x, plan=None):
+    """Classic half-complex real FFT over the complex engine (used above the
+    fused kernel's size bound): pack x into z[t] = x[2t] + i*x[2t+1], one
+    length-N/2 cfft, then the even/odd split with the plan's twiddles."""
+    n = x.shape[-1]
+    plan = plan or cached_plan(n, FFT_REAL)
+    m = n // 2
+    xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
+    v = xf.reshape(-1, m, 2)
+    zre, zim = _cfft_pair(v[..., 0], v[..., 1], m, FFT_FORWARD, ordered=True)
+    z = jax.lax.complex(zre, zim)
+    zc = jnp.conj(jnp.roll(jnp.flip(z, axis=-1), 1, axis=-1))
+    e = 0.5 * (z + zc)
+    o = -0.5j * (z - zc)
+    w = jax.lax.complex(plan.rfft_tw_re, plan.rfft_tw_im)
+    main = e + w * o
+    nyq = (e[..., :1] - o[..., :1]).real
+    out = jnp.concatenate([main, jax.lax.complex(nyq, jnp.zeros_like(nyq))], axis=-1)
+    return out.reshape(*batch_shape, m + 1)
+
+
+def _irfft_via_half(spec, plan=None):
+    """Inverse of :func:`_rfft_via_half` (unscaled)."""
+    bins = spec.shape[-1]
+    n = 2 * (bins - 1)
+    plan = plan or cached_plan(n, FFT_REAL)
+    m = n // 2
+    sf, batch_shape = _flatten_batch(spec.astype(jnp.complex64))
+    xmain = sf[..., :m]
+    xr = jnp.conj(jnp.flip(sf[..., 1:], axis=-1))
+    e = 0.5 * (xmain + xr)
+    wb = jax.lax.complex(plan.rfft_tw_re, -plan.rfft_tw_im)
+    o = 0.5 * wb * (xmain - xr)
+    z = e + 1j * o
+    zre, zim = _cfft_pair(z.real, z.imag, m, FFT_BACKWARD, ordered=True)
+    out = jnp.stack([2.0 * zre, 2.0 * zim], axis=-1).reshape(-1, n)
+    return out.reshape(*batch_shape, n).astype(jnp.float32)
 
 
 def rfft(x, plan=None):
@@ -856,6 +1015,8 @@ def rfft(x, plan=None):
     (re/im interleave + Nyquist unpack) costs one extra XLA pass — callers
     on the hot path should use :func:`rfft_packed`."""
     n = x.shape[-1]
+    if n > _MAX_FUSED_REAL:
+        return _rfft_via_half(x, plan)
     yre, yim = rfft_packed(x, plan)
     nyq = yim[..., :1]
     col = jax.lax.broadcasted_iota(jnp.int32, yim.shape, yim.ndim - 1)
@@ -868,6 +1029,9 @@ def rfft(x, plan=None):
 def irfft(spec, plan=None):
     """Unscaled inverse real FFT from a canonical complex spectrum."""
     spec = spec.astype(jnp.complex64)
+    n = 2 * (spec.shape[-1] - 1)
+    if n > _MAX_FUSED_REAL:
+        return _irfft_via_half(spec, plan)
     yre = spec[..., :-1].real
     yim = spec[..., :-1].imag
     nyq = spec[..., -1:].real

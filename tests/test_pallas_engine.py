@@ -198,3 +198,39 @@ def test_convolve_accumulate_packed_accumulates(rng):
     acc_r, acc_i = cf.convolve_accumulate_packed(a, b, ab=(base_r, base_i))
     assert np.allclose(np.asarray(acc_r), 2 * np.asarray(base_r))
     assert np.allclose(np.asarray(acc_i), 2 * np.asarray(base_i))
+
+
+# ---------------------------------------------------------------------------
+# Composite (HBM-staged) large-N path
+# ---------------------------------------------------------------------------
+
+
+def test_composite_cfft_roundtrip(rng):
+    """N=65536 exceeds one kernel's VMEM budget -> two-level four-step."""
+    n = 65536
+    x = rand_complex(rng, (2, n))
+    got = np.asarray(cf.fft(x, engine="pallas"))
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert np.abs(got - ref).max() < tol(n)
+    back = np.asarray(cf.ifft(got.astype(np.complex64), engine="pallas")) / n
+    assert np.abs(back - x).max() < tol(n)
+
+
+def test_composite_unordered_roundtrip(rng):
+    n = 65536
+    x = rand_complex(rng, (2, n))
+    u = cf.fft_unordered(x, engine="pallas")
+    back = np.asarray(cf.ifft_unordered(u, engine="pallas")) / n
+    assert np.abs(back - x).max() < tol(n)
+
+
+def test_large_rfft_via_half(rng):
+    """Real N above the fused-kernel bound goes through the half-complex
+    split over the composite complex engine."""
+    n = 131072
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    spec = np.asarray(cf.rfft(x, engine="pallas"))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert np.abs(spec - ref).max() < tol(n)
+    back = np.asarray(cf.irfft(spec.astype(np.complex64), engine="pallas")) / n
+    assert np.abs(back - x).max() < tol(n)
