@@ -1,0 +1,366 @@
+"""Benchmark suite for the BASELINE.json configs.
+
+Run on a machine with the real TPU chip attached:
+
+    python benchmarks/sweep.py            # full run -> RESULTS.md / RESULTS.json
+    python benchmarks/sweep.py --quick    # reduced shapes (smoke)
+
+Covers:
+  1. Single real forward+inverse FFT, N=4096: round-trip SNR vs numpy f64.
+  2. Batched complex + real throughput sweep, N = 2^8 .. 2^20.
+  3. Frequency-domain FIR: 4096-tap filter over a 1M-sample stream
+     (uniformly partitioned overlap-save -> fused convolve-accumulate).
+  4. Weak scaling of the sharded partitioned FIR on a virtual device mesh
+     (subprocess with JAX_PLATFORMS=cpu; efficiency ratio is the metric,
+     absolute CPU numbers are not).
+  5. Full SDR chain (polyphase decimate -> channelize -> FM demod).
+
+Methodology: ops are iterated on-device inside one jit (lax.scan) and a
+scalar is fetched; per-iteration time is the slope between two loop
+lengths, large enough (>= 128 iterations apart at small N) to dwarf the
+multi-ms RPC jitter of this runtime (benchmarks/NOTES.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+HBM_BYTES_PER_S = 819e9  # v5e
+
+
+def measure(fn_body, init, iters_pair):
+    import jax
+
+    ts = []
+    for iters in iters_pair:
+
+        @jax.jit
+        def loop(v):
+            def body(c, _):
+                return fn_body(c), None
+
+            c, _ = jax.lax.scan(body, v, None, length=iters)
+            return jax.tree_util.tree_map(lambda a: a.sum(), c)
+
+        jax.tree_util.tree_map(float, loop(init))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.tree_util.tree_map(float, loop(init))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    return (ts[1] - ts[0]) / (iters_pair[1] - iters_pair[0])
+
+
+def snr_db(ref, got):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(got, np.float64) - ref
+    return 10.0 * np.log10((ref**2).sum() / max((err**2).sum(), 1e-300))
+
+
+def config1_roundtrip_snr(results):
+    import jax
+    import jax.numpy as jnp
+    import chowdsp_fft_tpu as cf
+
+    n = 4096
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((16, n)).astype(np.float32)
+    re, im = map(np.asarray, jax.jit(cf.rfft_packed)(jnp.asarray(x)))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    got = np.concatenate([re, im[:, :1]], -1) + 1j * np.concatenate(
+        [np.zeros_like(im[:, :1]), im[:, 1:], np.zeros_like(im[:, :1])], -1
+    )
+    fwd_snr = snr_db(
+        np.concatenate([ref.real, ref.imag], -1),
+        np.concatenate([got.real, got.imag], -1),
+    )
+    back = np.asarray(jax.jit(cf.irfft_packed)(jnp.asarray(re), jnp.asarray(im))) / n
+    rt_snr = snr_db(x, back)
+    max_err = np.abs(back - x).max()
+    results["config1"] = {
+        "desc": "rfft+irfft round trip, N=4096",
+        "roundtrip_snr_db": round(float(rt_snr), 1),
+        "forward_snr_db": round(float(fwd_snr), 1),
+        "roundtrip_max_err": float(max_err),
+        "reference_bound": 2e-7 * n,
+        "pass": bool(max_err < 2e-7 * n),
+    }
+    print(f"config1: roundtrip SNR {rt_snr:.1f} dB, max err {max_err:.2e}")
+
+
+def config2_sweep(results, quick=False):
+    import jax
+    import jax.numpy as jnp
+    import chowdsp_fft_tpu as cf
+
+    rng = np.random.default_rng(2)
+    rows = []
+    sizes = [2**e for e in range(8, 21)]
+    if quick:
+        sizes = [4096, 65536]
+    work = 1 << 22  # keep B*N constant
+    for n in sizes:
+        b = max(2, work // n)
+        x = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+        zr = x
+        zi = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+        span = max(64, (1 << 25) // (b * n))  # iteration span scaled to size
+        pair = (8, 8 + span)
+
+        def body_r(v):
+            re, im = cf.rfft_packed(v)
+            return v + re[:, :1] * 1e-30
+
+        t_r = measure(body_r, x, pair)
+
+        def body_c(v):
+            r, i = v
+            s = cf.fft(jax.lax.complex(r, i))
+            return (r + s.real[:, :1] * 1e-30, i)
+
+        t_c = measure(body_c, (zr, zi), pair)
+        r_ms = b * n / t_r / 1e6
+        c_ms = b * n / t_c / 1e6
+        # memory-bound roofline (duplex): max(read, write) bytes / BW
+        roof_r = b * n / (b * n * 4 / HBM_BYTES_PER_S) / 1e6
+        rows.append(
+            {
+                "N": n,
+                "batch": b,
+                "rfft_Msps": round(r_ms, 1),
+                "cfft_Msps": round(c_ms, 1),
+                "rfft_vs_mem_roofline": round(r_ms / roof_r, 4),
+            }
+        )
+        print(
+            f"config2: N=2^{n.bit_length()-1} B={b}: rfft {r_ms:9.1f} Ms/s  "
+            f"cfft {c_ms:9.1f} Ms/s  ({rows[-1]['rfft_vs_mem_roofline']:.2f} of mem roofline)"
+        )
+    results["config2"] = {"desc": "throughput sweep (1 chip)", "rows": rows}
+
+
+def config3_fir(results, quick=False):
+    import jax
+    import jax.numpy as jnp
+    from chowdsp_fft_tpu.stream import fir_filter_ols, partitioned_fir_apply
+
+    rng = np.random.default_rng(3)
+    t = 1 << 20 if not quick else 1 << 16
+    taps = 4096
+    streams = 4
+    x = jax.device_put(rng.standard_normal((streams, t)).astype(np.float32))
+    h = jnp.asarray((rng.standard_normal(taps) / 64).astype(np.float32))
+
+    # Throughput mode: whole-stream overlap-save, all blocks batched into
+    # one kernel sweep (gather-free framing).
+    def body_ols(v):
+        y = fir_filter_ols(v, h, block=8192)
+        return v + y[:, :1] * 1e-30
+
+    per_ols = measure(body_ols, x, (4, 68))
+    ols_msps = streams * t / per_ols / 1e6
+
+    # Streaming mode: block-sequential FDL (lax.scan) — latency-chained by
+    # construction; reported as the real-time-convolver number.
+    def body(v):
+        y = partitioned_fir_apply(v, h, block=4096)
+        return v + y[:, :1] * 1e-30
+
+    per = measure(body, x, (4, 68))
+    msps = streams * t / per / 1e6
+    results["config3"] = {
+        "desc": f"4096-tap frequency-domain FIR on {streams}x{t}-sample streams (1 chip)",
+        "ols_batched_Msamples_per_s": round(ols_msps, 1),
+        "streaming_fdl_Msamples_per_s": round(msps, 1),
+    }
+    print(f"config3: OLS batched {ols_msps:.1f} Ms/s; streaming FDL {msps:.1f} Ms/s")
+
+
+def config5_sdr(results, quick=False):
+    import jax
+    import jax.numpy as jnp
+    from chowdsp_fft_tpu.models import SDRChain, SDRChainConfig
+
+    rng = np.random.default_rng(5)
+    channels = 256
+    chain = SDRChain(SDRChainConfig(channels=channels, decimation=2))
+    t = channels * 2 * (2048 if not quick else 128)
+    iqr = jax.device_put(rng.standard_normal(t).astype(np.float32))
+    iqi = jax.device_put(rng.standard_normal(t).astype(np.float32))
+
+    def body2(v):
+        r, i = v
+        audio = chain(jax.lax.complex(r, i))
+        return (r + audio[0, 0] * 1e-30, i)
+
+    per = measure(body2, (iqr, iqi), (4, 20))
+    msps = t / per / 1e6
+    results["config5"] = {
+        "desc": f"SDR chain: decimate -> {channels}-ch channelizer -> FM demod (1 chip)",
+        "Msamples_per_s_iq": round(msps, 1),
+    }
+    print(f"config5: SDR chain {msps:.1f} Ms/s IQ")
+
+
+def config4_weak_scaling(results, quick=False):
+    """Multi-chip hardware is unavailable (single-chip tunnel, BASELINE.md);
+    this config therefore (a) validates the sharded program's *correctness*
+    on a virtual CPU mesh at 1..8 devices in a subprocess, and (b) reports
+    the ICI halo roofline model's predicted weak-scaling efficiency,
+    anchored to chip datasheet numbers (utils/roofline.halo_weak_scaling).
+    Note this host has a single CPU core, so virtual-mesh *timing* carries
+    no scaling information — only correctness does.
+    """
+    script = r"""
+import os, sys, json
+import numpy as np
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from chowdsp_fft_tpu import parallel
+
+rng = np.random.default_rng(4)
+taps = 1024
+per_dev = 1 << 14
+out = {}
+h = (rng.standard_normal(taps) / 64).astype(np.float32)
+for nd in (1, 2, 4, 8):
+    mesh = parallel.dsp_mesh(nd, axis=parallel.TIME_AXIS)
+    t = nd * per_dev
+    x = rng.standard_normal(t).astype(np.float32)
+    y = np.asarray(parallel.sharded_partitioned_fir(jnp.asarray(x), jnp.asarray(h), mesh, block=512))
+    ref = np.convolve(x.astype(np.float64), h.astype(np.float64))[:t]
+    out[nd] = {"max_err": float(np.abs(y - ref).max()), "pass": bool(np.abs(y - ref).max() < 1e-3)}
+print(json.dumps(out))
+""" % str(REPO)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env, timeout=900
+    )
+    if p.returncode != 0:
+        print("config4 FAILED:", p.stderr[-500:])
+        results["config4"] = {"error": p.stderr[-500:]}
+        return
+    correctness = json.loads(p.stdout.strip().splitlines()[-1])
+    from chowdsp_fft_tpu.utils.roofline import halo_weak_scaling
+
+    per_dev_samples = 64 * 480000  # 64 ch x 10 s @ 48 kHz, all on one chip
+    model = {}
+    for nd in (2, 8, 16):
+        m = halo_weak_scaling(per_dev_samples // nd, taps=4096, block=1024)
+        mo = halo_weak_scaling(per_dev_samples // nd, taps=4096, block=1024, overlap_comm=True)
+        model[nd] = {
+            "efficiency_serial_halo": round(m["efficiency"], 4),
+            "efficiency_overlapped": round(mo["efficiency"], 4),
+        }
+    results["config4"] = {
+        "desc": "sharded overlap-save FIR: virtual-mesh correctness + ICI "
+        "halo roofline model (no multi-chip hardware in this environment)",
+        "virtual_mesh_correctness": correctness,
+        "ici_model": model,
+    }
+    for nd, row in correctness.items():
+        print(f"config4: {nd} dev correctness: err {row['max_err']:.2e} {'PASS' if row['pass'] else 'FAIL'}")
+    for nd, row in model.items():
+        print(f"config4: {nd}-chip model eff: serial {row['efficiency_serial_halo']}, overlapped {row['efficiency_overlapped']}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    print("backend:", backend)
+    results = {"backend": backend, "quick": args.quick}
+
+    config1_roundtrip_snr(results)
+    config2_sweep(results, args.quick)
+    config3_fir(results, args.quick)
+    config5_sdr(results, args.quick)
+    config4_weak_scaling(results, args.quick)
+
+    out = REPO / "benchmarks" / "RESULTS.json"
+    out.write_text(json.dumps(results, indent=2))
+    md = [
+        "# Measured results (benchmarks/sweep.py)",
+        "",
+        f"Backend: `{backend}`; methodology in benchmarks/NOTES.md.",
+        "",
+        "## Config 1 — round-trip accuracy (N=4096)",
+        "",
+        f"- round-trip SNR: **{results['config1']['roundtrip_snr_db']} dB**, "
+        f"max err {results['config1']['roundtrip_max_err']:.2e} "
+        f"(reference bound {results['config1']['reference_bound']:.1e}) — "
+        f"{'PASS' if results['config1']['pass'] else 'FAIL'}",
+        "",
+        "## Config 2 — throughput sweep (1 chip)",
+        "",
+        "| N | batch | rfft Ms/s | cfft Ms/s | rfft vs mem-roofline |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results["config2"]["rows"]:
+        md.append(
+            f"| 2^{r['N'].bit_length()-1 if isinstance(r['N'], int) else r['N']} "
+            f"| {r['batch']} | {r['rfft_Msps']} | {r['cfft_Msps']} "
+            f"| {r['rfft_vs_mem_roofline']} |"
+        )
+    md += [
+        "",
+        "## Config 3 — 4096-tap frequency-domain FIR on 1M-sample streams",
+        "",
+        f"- batched overlap-save: **{results['config3']['ols_batched_Msamples_per_s']} Msamples/s**; "
+        f"streaming (block-sequential FDL): "
+        f"**{results['config3']['streaming_fdl_Msamples_per_s']} Msamples/s** (1 chip)",
+        "",
+        "## Config 4 — sharded overlap-save FIR (multi-chip)",
+        "",
+        "No multi-chip hardware in this environment (single-chip tunnel); "
+        "correctness is validated on a 1..8-device virtual mesh and scaling "
+        "comes from the ICI halo roofline model "
+        "(`utils/roofline.halo_weak_scaling`, datasheet ICI bandwidth):",
+        "",
+        "| devices | virtual-mesh correctness | model eff (serial halo) | model eff (overlapped) |",
+        "|---|---|---|---|",
+    ]
+    c4 = results.get("config4", {})
+    if "ici_model" in c4:
+        corr = c4["virtual_mesh_correctness"]
+        for nd in (2, 8, 16):
+            vc = corr.get(str(nd))
+            vtxt = "PASS" if (vc and vc.get("pass")) else ("n/a" if vc is None else "FAIL")
+            mrow = c4["ici_model"][nd]
+            md.append(
+                f"| {nd} | {vtxt} | {mrow['efficiency_serial_halo']} "
+                f"| {mrow['efficiency_overlapped']} |"
+            )
+    md += [
+        "",
+        "## Config 5 — SDR chain (256 channels)",
+        "",
+        f"- **{results['config5']['Msamples_per_s_iq']} Msamples/s** IQ input (1 chip)",
+        "",
+    ]
+    (REPO / "benchmarks" / "RESULTS.md").write_text("\n".join(md))
+    print("wrote benchmarks/RESULTS.{json,md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,10 @@ from .api import (  # noqa: F401
     ifft,
     ifft_unordered,
     convolve_accumulate_packed,
+    fft_planes,
+    fft_planes_unordered,
+    ifft_planes,
+    ifft_planes_unordered,
     irfft,
     irfft_packed,
     irfft_packed_unordered,

@@ -84,6 +84,10 @@ __all__ = [
     "irfft_packed",
     "rfft_packed_unordered",
     "irfft_packed_unordered",
+    "fft_planes",
+    "ifft_planes",
+    "fft_planes_unordered",
+    "ifft_planes_unordered",
     "convolve_accumulate",
     "convolve_accumulate_packed",
     "multiply_spectra",
@@ -112,6 +116,11 @@ def _stockham_irfft_packed(re, im, plan=None):
     return stockham.irfft(packed_planes_to_spectrum(re, im), plan)
 
 
+def _stockham_cfft_planes(re, im, plan=None, direction=FFT_FORWARD):
+    z = stockham.cfft(jax.lax.complex(re, im), plan, direction)
+    return z.real, z.imag
+
+
 register_engine(
     "stockham",
     {
@@ -127,6 +136,8 @@ register_engine(
         "irfft_packed": _stockham_irfft_packed,
         "rfft_packed_unordered": _stockham_rfft_packed,
         "irfft_packed_unordered": _stockham_irfft_packed,
+        "cfft_planes": _stockham_cfft_planes,
+        "cfft_planes_unordered": _stockham_cfft_planes,
     },
     supports=lambda plan: True,
 )
@@ -220,6 +231,42 @@ def ifft_unordered(spec: jax.Array, plan: FFTPlan | None = None, engine: str = "
 def rfft_unordered(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto") -> jax.Array:
     plan = plan or cached_plan(x.shape[-1], FFT_REAL)
     return _pick_engine(plan, engine)["rfft_unordered"](x, plan)
+
+
+def fft_planes(
+    re: jax.Array,
+    im: jax.Array,
+    plan: FFTPlan | None = None,
+    engine: str = "auto",
+    direction: str = FFT_FORWARD,
+):
+    """Complex FFT on SoA float32 planes -> (re, im) planes (ordered).
+
+    The planes interface skips the complex64 interleave relayouts the
+    complex wrappers pay around the kernels — the complex analog of
+    :func:`rfft_packed`. Unscaled both directions."""
+    plan = plan or cached_plan(re.shape[-1], FFT_COMPLEX)
+    return _pick_engine(plan, engine)["cfft_planes"](re, im, plan, direction)
+
+
+def ifft_planes(re, im, plan=None, engine: str = "auto"):
+    return fft_planes(re, im, plan, engine, direction=FFT_BACKWARD)
+
+
+def fft_planes_unordered(
+    re: jax.Array,
+    im: jax.Array,
+    plan: FFTPlan | None = None,
+    engine: str = "auto",
+    direction: str = FFT_FORWARD,
+):
+    """Planes complex FFT in engine-internal frequency order."""
+    plan = plan or cached_plan(re.shape[-1], FFT_COMPLEX)
+    return _pick_engine(plan, engine)["cfft_planes_unordered"](re, im, plan, direction)
+
+
+def ifft_planes_unordered(re, im, plan=None, engine: str = "auto"):
+    return fft_planes_unordered(re, im, plan, engine, direction=FFT_BACKWARD)
 
 
 def rfft_packed(x: jax.Array, plan: FFTPlan | None = None, engine: str = "auto"):

@@ -924,6 +924,20 @@ def cfft(x, plan=None, direction=FFT_FORWARD):
     return _cfft_complex(x, plan, direction, ordered=True)
 
 
+def cfft_planes(re, im, plan=None, direction=FFT_FORWARD, ordered: bool = True):
+    """Complex FFT on SoA float32 planes -> (re, im) planes.
+
+    The engine-native complex interface: complex64 arrays are interleaved
+    in XLA memory, so the complex wrappers pay a relayout on each side of
+    the kernel; planes go straight in. (Also the only complex format the
+    axon tunnel can transfer to the host.)"""
+    n = re.shape[-1]
+    rf, batch_shape = _flatten_batch(re.astype(jnp.float32))
+    if_, _ = _flatten_batch(im.astype(jnp.float32))
+    yre, yim = _cfft_pair(rf, if_, n, direction, ordered)
+    return yre.reshape(*batch_shape, n), yim.reshape(*batch_shape, n)
+
+
 def cfft_unordered(x, plan=None, direction=FFT_FORWARD):
     """Complex FFT in this engine's internal (digit-transposed) order."""
     n = x.shape[-1]
@@ -1066,6 +1080,8 @@ _api.register_engine(
         "irfft_packed": irfft_packed,
         "rfft_packed_unordered": _rfft_packed_unordered,
         "irfft_packed_unordered": _irfft_packed_unordered,
+        "cfft_planes": cfft_planes,
+        "cfft_planes_unordered": functools.partial(cfft_planes, ordered=False),
     },
     supports=supports_plan,
 )

@@ -282,3 +282,33 @@ def cached_plan(n: int, kind: TransformKind = FFT_COMPLEX) -> FFTPlan:
     """Memoized make_plan — used by the high-level API when no explicit plan
     is passed."""
     return make_plan(n, kind)
+
+
+def save_plan(plan: FFTPlan, path: str) -> None:
+    """Serialize a plan to an .npz file.
+
+    The checkpoint/resume story (SURVEY.md section 5): the reference's
+    nearest concept is caller-owned setup memory
+    (``fft_new_setup_preallocated``, /root/reference/chowdsp_fft.h:98-118);
+    here a plan is a pytree of arrays, so persistence is plain numpy I/O.
+    """
+    leaves, _ = jax.tree_util.tree_flatten(plan)
+    np.savez(
+        path,
+        n=plan.n,
+        kind=plan.kind,
+        **{f"leaf{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+    )
+
+
+def load_plan(path: str) -> FFTPlan:
+    """Inverse of :func:`save_plan`. The twiddle tables are restored
+    bit-exactly (no recomputation)."""
+    with np.load(path, allow_pickle=False) as z:
+        n = int(z["n"])
+        kind = str(z["kind"])
+        template = make_plan(n, kind)
+        treedef = jax.tree_util.tree_structure(template)
+        num = len(jax.tree_util.tree_leaves(template))
+        leaves = [z[f"leaf{i}"] for i in range(num)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -47,13 +47,24 @@ def next_fft_size(n: int) -> int:
 def _frame_overlap(x: jax.Array, block: int, overlap: int) -> jax.Array:
     """(..., T) -> (..., num_blocks, overlap + block) frames, stride =
     block, left-padded with `overlap` zeros (and right-padded to whole
-    blocks). Static shapes throughout — jit/XLA friendly."""
+    blocks). Static shapes throughout — jit/XLA friendly.
+
+    Built from whole-row reshapes + contiguous slices + one concat: frame i
+    = rows[i] ++ rows[i+1][:rem] ... — an XLA gather here (fancy-indexed
+    windows) was the stream layer's bottleneck on TPU, costing more than
+    the FFTs themselves."""
     t = x.shape[-1]
     nblocks = -(-t // block)
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(overlap, nblocks * block - t)])
-    # frame i covers x_padded[i*block : i*block + overlap + block]
-    idx = np.arange(nblocks)[:, None] * block + np.arange(overlap + block)[None, :]
-    return x[..., idx]
+    frame_len = overlap + block
+    k = -(-frame_len // block)  # rows each frame spans
+    target_len = (nblocks - 1 + k) * block  # whole rows, covers the last frame
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(overlap, target_len - overlap - t)])
+    rows = x.reshape(*x.shape[:-1], nblocks - 1 + k, block)
+    parts = []
+    for j in range(k):
+        take = min(block, frame_len - j * block)
+        parts.append(rows[..., j : j + nblocks, :take])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def fir_filter_ols(
@@ -79,12 +90,17 @@ def fir_filter_ols(
 
     plan = api.cached_plan(n, api.FFT_REAL)
     hpad = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, n - taps)])
-    hspec = api.rfft_unordered(hpad, plan=plan, engine=engine)
+    # Packed-plane pipeline throughout: the engine's fastest real path (no
+    # canonical-complex assembly, no reorder — fft_transform_unordered +
+    # pffft-packed layout, as the reference's convolution loop uses).
+    hre, him = api.rfft_packed_unordered(hpad, plan=plan, engine=engine)
+    if h.ndim == x.ndim:
+        hre, him = hre[..., None, :], him[..., None, :]
 
     frames = _frame_overlap(x, block, taps - 1)  # (..., nb, n)
-    xspec = api.rfft_unordered(frames, plan=plan, engine=engine)
-    yspec = api.multiply_spectra(xspec, hspec[..., None, :] if h.ndim == x.ndim else hspec)
-    yblocks = api.irfft_unordered(yspec, plan=plan, engine=engine) * (1.0 / n)
+    xre, xim = api.rfft_packed_unordered(frames, plan=plan, engine=engine)
+    yre, yim = api.convolve_accumulate_packed((xre, xim), (hre, him), scaling=1.0 / n)
+    yblocks = api.irfft_packed_unordered(yre, yim, plan=plan, engine=engine)
     # Overlap-save: the first taps-1 samples of each block are circularly
     # corrupted; keep the last `block` samples.
     y = yblocks[..., taps - 1 :]
@@ -120,29 +136,44 @@ class PartitionedFIR:
         hparts = jnp.pad(
             hparts, [(0, 0)] * (h.ndim) + [(0, self.n - self.block)]
         )
-        # (..., P, bins) frequency-domain partitions.
-        self.hspec = api.rfft_unordered(hparts, plan=self.plan, engine=self.engine)
+        # (..., P, N/2) packed-plane frequency-domain partitions — the
+        # packed layout keeps the whole FDL in two f32 planes (exactly the
+        # reference's working format for its convolve loop,
+        # /root/reference/simd/chowdsp_fft_impl_sse.cpp:1603-1645).
+        self.h_re, self.h_im = api.rfft_packed_unordered(
+            hparts, plan=self.plan, engine=self.engine
+        )
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> dict:
-        bins = self.plan.spectrum_bins
+        m = self.n // 2
         return {
-            "fdl": jnp.zeros((*batch_shape, self.partitions, bins), jnp.complex64),
+            "fdl_re": jnp.zeros((*batch_shape, self.partitions, m), jnp.float32),
+            "fdl_im": jnp.zeros((*batch_shape, self.partitions, m), jnp.float32),
             "prev": jnp.zeros((*batch_shape, self.block), jnp.float32),
         }
 
     def step(self, state: dict, xblock: jax.Array) -> tuple[dict, jax.Array]:
         """Process one (..., block) input block -> (..., block) output."""
         frame = jnp.concatenate([state["prev"], xblock], axis=-1)  # (..., n)
-        xspec = api.rfft_unordered(frame, plan=self.plan, engine=self.engine)
-        fdl = jnp.roll(state["fdl"], 1, axis=-2)
-        fdl = fdl.at[..., 0, :].set(xspec)
-        # y_spec = sum_p fdl[p] * h[p]  — P fused convolve-accumulates.
-        acc = jnp.zeros_like(xspec)
+        xre, xim = api.rfft_packed_unordered(frame, plan=self.plan, engine=self.engine)
+        fdl_re = jnp.roll(state["fdl_re"], 1, axis=-2)
+        fdl_im = jnp.roll(state["fdl_im"], 1, axis=-2)
+        fdl_re = fdl_re.at[..., 0, :].set(xre)
+        fdl_im = fdl_im.at[..., 0, :].set(xim)
+        # y = sum_p fdl[p] * h[p]  — P fused packed convolve-accumulates.
+        acc = None
         for p in range(self.partitions):
-            acc = api.convolve_accumulate(fdl[..., p, :], self.hspec[..., p, :], ab=acc)
-        yfull = api.irfft_unordered(acc, plan=self.plan, engine=self.engine) * (1.0 / self.n)
+            acc = api.convolve_accumulate_packed(
+                (fdl_re[..., p, :], fdl_im[..., p, :]),
+                (self.h_re[..., p, :], self.h_im[..., p, :]),
+                ab=acc,
+                scaling=1.0 / self.n,
+            )
+        yfull = api.irfft_packed_unordered(
+            acc[0], acc[1], plan=self.plan, engine=self.engine
+        )
         y = yfull[..., self.block :]  # valid half (overlap-save)
-        return {"fdl": fdl, "prev": xblock}, y
+        return {"fdl_re": fdl_re, "fdl_im": fdl_im, "prev": xblock}, y
 
 
 def partitioned_fir_apply(

@@ -1,3 +1,3 @@
-"""Utilities: native planner bindings, roofline math, test helpers."""
+"""Utilities: native planner bindings, roofline math, profiling helpers."""
 
-from . import native, roofline  # noqa: F401
+from . import native, profiling, roofline  # noqa: F401

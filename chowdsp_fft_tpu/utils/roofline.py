@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
-__all__ = ["ChipSpec", "V5E", "fft_roofline", "conv_roofline"]
+__all__ = ["ChipSpec", "V5E", "fft_roofline", "conv_roofline", "halo_weak_scaling"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -26,7 +26,8 @@ class ChipSpec:
 
 
 # TPU v5e (datasheet: 197 bf16 TFLOP/s, 819 GB/s HBM; fp32 matmul via
-# multi-pass ~1/6; VPU 8x128x4 ALUs at ~0.94 GHz).
+# multi-pass ~1/6; VPU 8x128x4 ALUs at ~0.94 GHz; ICI ~45 GB/s per
+# direction per link on the 2D torus).
 V5E = ChipSpec(
     name="v5e",
     hbm_bytes_per_s=819e9,
@@ -34,6 +35,8 @@ V5E = ChipSpec(
     f32_matmul_flops=33e12,
     vpu_flops=3.9e12,
 )
+
+V5E_ICI_BYTES_PER_S = 45e9  # per direction per link
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,3 +107,44 @@ def conv_roofline(
         bound="memory" if t_mem >= t_comp else "compute",
         samples_per_s=batch_blocks * n_fft / t,
     )
+
+
+def halo_weak_scaling(
+    per_device_samples: int,
+    taps: int,
+    block: int = 1024,
+    chip: ChipSpec = V5E,
+    ici_bytes_per_s: float = V5E_ICI_BYTES_PER_S,
+    overlap_comm: bool = False,
+) -> dict:
+    """Predicted weak-scaling efficiency of the time-sharded overlap-save
+    FIR (parallel.sharded_partitioned_fir) on a real chip ring.
+
+    Each device holds a contiguous time shard and receives a (taps-1)-sample
+    float32 halo from its left neighbor via one ppermute hop per
+    application — communication volume is independent of device count, so
+    the model is device-count-invariant: efficiency = t_comp / (t_comp +
+    t_halo) (serial) or min(1, t_comp / max(t_comp, t_halo)) when the halo
+    ppermute is overlapped with the first block FFTs. Real multi-chip
+    hardware is not available in this environment (single-chip tunnel;
+    BASELINE.md), so this model — anchored to the measured single-chip conv
+    throughput — stands in for the 2-host measurement; the communication
+    *structure* is validated on the virtual CPU mesh by
+    tests/test_parallel.py and __graft_entry__.dryrun_multichip.
+    """
+    n_fft = 2 * block
+    blocks = -(-per_device_samples // block)
+    t_comp = blocks * n_fft / conv_roofline(n_fft, blocks, chip).samples_per_s
+    halo_bytes = (taps - 1) * 4
+    t_halo = halo_bytes / ici_bytes_per_s + 1e-6  # + ~1us ppermute latency
+    if overlap_comm:
+        eff = min(1.0, t_comp / max(t_comp, t_halo))
+    else:
+        eff = t_comp / (t_comp + t_halo)
+    return {
+        "per_device_samples": per_device_samples,
+        "taps": taps,
+        "t_compute_s": t_comp,
+        "t_halo_s": t_halo,
+        "efficiency": eff,
+    }

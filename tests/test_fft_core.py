@@ -226,3 +226,26 @@ def test_jit_and_grad(rng):
     # (DC/Nyquist excluded from doubling); just check finiteness + shape.
     assert g.shape == x.shape
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_plan_save_load_roundtrip(tmp_path, rng):
+    """Checkpoint/resume of plans: bit-exact .npz round trip (the TPU
+    analog of the reference's caller-owned preallocated setups,
+    /root/reference/chowdsp_fft.h:98-118)."""
+    from chowdsp_fft_tpu import plans as plans_mod
+
+    p = cf.make_plan(768, cf.FFT_REAL)
+    path = str(tmp_path / "plan.npz")
+    plans_mod.save_plan(p, path)
+    q = plans_mod.load_plan(path)
+    assert q.n == p.n and q.kind == p.kind and q.radices == p.radices
+    for a, b in zip(
+        __import__("jax").tree_util.tree_leaves(p),
+        __import__("jax").tree_util.tree_leaves(q),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # a loaded plan drives a transform
+    x = rng.standard_normal((3, 768)).astype(np.float32)
+    got = np.asarray(cf.rfft(x, plan=q))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert np.abs(got - ref).max() < tol(768)

@@ -234,3 +234,25 @@ def test_large_rfft_via_half(rng):
     assert np.abs(spec - ref).max() < tol(n)
     back = np.asarray(cf.irfft(spec.astype(np.complex64), engine="pallas")) / n
     assert np.abs(back - x).max() < tol(n)
+
+
+def test_fft_planes_matches_complex(rng):
+    n = 1024
+    z = rand_complex(rng, (3, n))
+    yr, yi = map(np.asarray, cf.fft_planes(z.real, z.imag, engine="pallas"))
+    ref = np.fft.fft(z.astype(np.complex128), axis=-1)
+    assert np.abs(yr - ref.real).max() < tol(n)
+    assert np.abs(yi - ref.imag).max() < tol(n)
+    br, bi = map(np.asarray, cf.ifft_planes(yr, yi, engine="pallas"))
+    assert np.abs(br / n - z.real).max() < tol(n)
+    assert np.abs(bi / n - z.imag).max() < tol(n)
+
+
+def test_fft_planes_unordered_roundtrip_both_engines(rng):
+    n = 512
+    z = rand_complex(rng, (2, n))
+    for eng in ("pallas", "stockham"):
+        ur, ui = cf.fft_planes_unordered(z.real, z.imag, engine=eng)
+        br, bi = map(np.asarray, cf.ifft_planes_unordered(ur, ui, engine=eng))
+        assert np.abs(br / n - z.real).max() < tol(n), eng
+        assert np.abs(bi / n - z.imag).max() < tol(n), eng
