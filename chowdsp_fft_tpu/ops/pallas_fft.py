@@ -960,13 +960,18 @@ def rfft_packed(x, plan=None, ordered: bool = True):
     VMEM bound fall back to the half-complex split over the (possibly
     composite) complex engine; their "unordered" layout is the ordered one."""
     n = x.shape[-1]
+    m = n // 2
     if n > _MAX_FUSED_REAL:
-        from .layout import spectrum_to_packed_planes
-
-        return spectrum_to_packed_planes(_rfft_via_half(x, plan))
+        za_re, za_im, zb_re, zb_im, b, batch_shape = _rfft_pair_planes(x)
+        # (m+1)-bin planes -> packed m-bin planes (Nyquist into im[0]),
+        # even/odd rows re-interleaved by a free leading reshape.
+        re2 = jnp.stack([za_re[..., :m], zb_re[..., :m]], axis=1).reshape(-1, m)[:b]
+        im_a = jnp.concatenate([za_re[..., m:], za_im[..., 1:m]], axis=-1)
+        im_b = jnp.concatenate([zb_re[..., m:], zb_im[..., 1:m]], axis=-1)
+        im2 = jnp.stack([im_a, im_b], axis=1).reshape(-1, m)[:b]
+        return re2.reshape(*batch_shape, m), im2.reshape(*batch_shape, m)
     xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
     yre, yim = _pallas_rfft_packed(xf, n, ordered)
-    m = n // 2
     return yre.reshape(*batch_shape, m), yim.reshape(*batch_shape, m)
 
 
@@ -974,52 +979,107 @@ def irfft_packed(yre, yim, plan=None, ordered: bool = True):
     """Unscaled inverse of :func:`rfft_packed` -> (..., N) f32."""
     m = yre.shape[-1]
     n = 2 * m
-    if n > _MAX_FUSED_REAL:
-        from .layout import packed_planes_to_spectrum
-
-        return _irfft_via_half(packed_planes_to_spectrum(yre, yim), plan)
     rf, batch_shape = _flatten_batch(yre.astype(jnp.float32))
     if_, _ = _flatten_batch(yim.astype(jnp.float32))
+    if n > _MAX_FUSED_REAL:
+        b = rf.shape[0]
+        if b % 2:
+            rf = jnp.pad(rf, ((0, 1), (0, 0)))
+            if_ = jnp.pad(if_, ((0, 1), (0, 0)))
+        rp = rf.reshape(-1, 2, m)
+        ip = if_.reshape(-1, 2, m)
+        zeros = jnp.zeros_like(rp[:, 0, :1])
+
+        def unpack(rr, ii):  # packed m bins -> canonical (m+1)-bin planes
+            cre = jnp.concatenate([rr, ii[..., :1]], axis=-1)
+            cim = jnp.concatenate([zeros, ii[..., 1:], zeros], axis=-1)
+            return cre, cim
+
+        a_re, a_im = unpack(rp[:, 0, :], ip[:, 0, :])
+        b_re, b_im = unpack(rp[:, 1, :], ip[:, 1, :])
+        x = _irfft_pair_planes(a_re, a_im, b_re, b_im, n)[:b]
+        return x.reshape(*batch_shape, n)
     x = _pallas_irfft_packed(rf, if_, n, ordered)
     return x.reshape(*batch_shape, n)
 
 
 def _rfft_via_half(x, plan=None):
-    """Classic half-complex real FFT over the complex engine (used above the
-    fused kernel's size bound): pack x into z[t] = x[2t] + i*x[2t+1], one
-    length-N/2 cfft, then the even/odd split with the plan's twiddles."""
+    """Large-N real FFT via BATCH pairing (used above the fused kernel's
+    size bound): two real rows become one full-length complex row,
+    z = x[2b] + i*x[2b+1], and one cfft serves both — the classic
+    two-for-one identity A = (Z + conj(Zrev))/2, B = (Z - conj(Zrev))/2i.
+
+    Pairing across the *batch* axis instead of even/odd samples is the
+    TPU-critical choice: the sample-interleaved pack is a stride-2 minor
+    relayout that measured 2.1ms at N=2^19 B=8 — 5x the FFT itself —
+    while batch pairing is whole-row slices (benchmarks/NOTES.md)."""
     n = x.shape[-1]
-    plan = plan or cached_plan(n, FFT_REAL)
+    del plan  # no split twiddles needed in the two-signal form
+    za_re, za_im, zb_re, zb_im, b, batch_shape = _rfft_pair_planes(x)
+    out = jnp.stack(
+        [jax.lax.complex(za_re, za_im), jax.lax.complex(zb_re, zb_im)], axis=1
+    ).reshape(-1, n // 2 + 1)[:b]
+    return out.reshape(*batch_shape, n // 2 + 1)
+
+
+def _rfft_pair_planes(x):
+    """Batch-paired large-N forward: returns the two half spectra as f32
+    planes (za for even rows, zb for odd rows), each (ceil(B/2), N/2+1).
+
+    All reversal/combine math stays on float32 planes — complex64 is
+    interleaved in XLA memory, and a complex-typed combine measured 1.4ms
+    of pure relayout at N=2^19 (benchmarks/NOTES.md)."""
+    n = x.shape[-1]
     m = n // 2
     xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
-    v = xf.reshape(-1, m, 2)
-    zre, zim = _cfft_pair(v[..., 0], v[..., 1], m, FFT_FORWARD, ordered=True)
-    z = jax.lax.complex(zre, zim)
-    zc = jnp.conj(jnp.roll(jnp.flip(z, axis=-1), 1, axis=-1))
-    e = 0.5 * (z + zc)
-    o = -0.5j * (z - zc)
-    w = jax.lax.complex(plan.rfft_tw_re, plan.rfft_tw_im)
-    main = e + w * o
-    nyq = (e[..., :1] - o[..., :1]).real
-    out = jnp.concatenate([main, jax.lax.complex(nyq, jnp.zeros_like(nyq))], axis=-1)
-    return out.reshape(*batch_shape, m + 1)
+    b = xf.shape[0]
+    if b % 2:
+        xf = jnp.pad(xf, ((0, 1), (0, 0)))
+    v = xf.reshape(-1, 2, n)
+    zre, zim = _cfft_pair(v[:, 0, :], v[:, 1, :], n, FFT_FORWARD, ordered=True)
+
+    def rev(p):  # p[(N-k) % N]
+        return jnp.roll(jnp.flip(p, axis=-1), 1, axis=-1)
+
+    zcre = rev(zre)
+    zcim = -rev(zim)
+    za_re = 0.5 * (zre + zcre)[..., : m + 1]
+    za_im = 0.5 * (zim + zcim)[..., : m + 1]
+    zb_re = 0.5 * (zim - zcim)[..., : m + 1]
+    zb_im = -0.5 * (zre - zcre)[..., : m + 1]
+    return za_re, za_im, zb_re, zb_im, b, batch_shape
+
+
+def _irfft_pair_planes(za_re, za_im, zb_re, zb_im, n):
+    """Inverse of :func:`_rfft_pair_planes` (unscaled): rebuild the paired
+    complex row Z = A + i*B over all N bins via Hermitian symmetry (planes
+    math only), one backward cfft; the output planes ARE the two time rows."""
+    # head bins 0..m: A + iB.
+    head_re = za_re - zb_im
+    head_im = za_im + zb_re
+    # tail bins m+1..N-1: Z[k] = conj((A - iB)[N-k]), N-k in [1, m-1].
+    g_re = za_re + zb_im
+    g_im = zb_re - za_im
+    tail_re = jnp.flip(g_re[..., 1:-1], axis=-1)
+    tail_im = jnp.flip(g_im[..., 1:-1], axis=-1)
+    zre = jnp.concatenate([head_re, tail_re], axis=-1)
+    zim = jnp.concatenate([head_im, tail_im], axis=-1)
+    xre, xim = _cfft_pair(zre, zim, n, FFT_BACKWARD, ordered=True)
+    return jnp.stack([xre, xim], axis=1).reshape(-1, n)
 
 
 def _irfft_via_half(spec, plan=None):
-    """Inverse of :func:`_rfft_via_half` (unscaled)."""
     bins = spec.shape[-1]
     n = 2 * (bins - 1)
-    plan = plan or cached_plan(n, FFT_REAL)
-    m = n // 2
+    del plan
     sf, batch_shape = _flatten_batch(spec.astype(jnp.complex64))
-    xmain = sf[..., :m]
-    xr = jnp.conj(jnp.flip(sf[..., 1:], axis=-1))
-    e = 0.5 * (xmain + xr)
-    wb = jax.lax.complex(plan.rfft_tw_re, -plan.rfft_tw_im)
-    o = 0.5 * wb * (xmain - xr)
-    z = e + 1j * o
-    zre, zim = _cfft_pair(z.real, z.imag, m, FFT_BACKWARD, ordered=True)
-    out = jnp.stack([2.0 * zre, 2.0 * zim], axis=-1).reshape(-1, n)
+    b = sf.shape[0]
+    if b % 2:
+        sf = jnp.pad(sf, ((0, 1), (0, 0)))
+    v = sf.reshape(-1, 2, bins)
+    out = _irfft_pair_planes(
+        v[:, 0, :].real, v[:, 0, :].imag, v[:, 1, :].real, v[:, 1, :].imag, n
+    )[:b]
     return out.reshape(*batch_shape, n).astype(jnp.float32)
 
 
