@@ -631,7 +631,56 @@ def _rbatch_tile(n: int, b: int) -> int:
     return (tb // 8) * 8
 
 
-def _pallas_rfft_packed(x: jax.Array, n: int, ordered: bool) -> tuple[jax.Array, jax.Array]:
+def _halfspec_weight(re: jax.Array, im: jax.Array, n: int, w_pair: float):
+    """Adjoint weighting between packed planes and the time domain: the
+    DC and Nyquist slots (both at column 0) represent one real bin each
+    (weight 1); every other slot stands for a conjugate PAIR of bins —
+    weight 1/2 transposing the forward, 2 transposing the inverse (the
+    two weights must be reciprocal so that vjp(irfft . rfft) = N * ct)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, re.shape, re.ndim - 1)
+    w = jnp.where(col == 0, 1.0, w_pair)
+    return re * w, im * w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pallas_rfft_packed(x, n, ordered):
+    """Fused real forward with an exact adjoint rule: the transpose of the
+    packed rfft is the packed irfft of the half-weighted cotangent (DC and
+    Nyquist carry weight 1, paired bins 1/2) — same ordering flag."""
+    return _pallas_rfft_packed_impl(x, n, ordered)
+
+
+def _pallas_rfft_packed_fwd(x, n, ordered):
+    return _pallas_rfft_packed_impl(x, n, ordered), None
+
+
+def _pallas_rfft_packed_bwd(n, ordered, _res, ct):
+    sre, sim = _halfspec_weight(ct[0], ct[1], n, 0.5)
+    return (_pallas_irfft_packed_impl(sre, sim, n, ordered),)
+
+
+_pallas_rfft_packed.defvjp(_pallas_rfft_packed_fwd, _pallas_rfft_packed_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pallas_irfft_packed(yre, yim, n, ordered):
+    """Fused real backward; adjoint = half-weighted packed forward."""
+    return _pallas_irfft_packed_impl(yre, yim, n, ordered)
+
+
+def _pallas_irfft_packed_fwd(yre, yim, n, ordered):
+    return _pallas_irfft_packed_impl(yre, yim, n, ordered), None
+
+
+def _pallas_irfft_packed_bwd(n, ordered, _res, ct):
+    re, im = _pallas_rfft_packed_impl(ct, n, ordered)
+    return _halfspec_weight(re, im, n, 2.0)
+
+
+_pallas_irfft_packed.defvjp(_pallas_irfft_packed_fwd, _pallas_irfft_packed_bwd)
+
+
+def _pallas_rfft_packed_impl(x: jax.Array, n: int, ordered: bool) -> tuple[jax.Array, jax.Array]:
     """(B, N) f32 -> packed half-spectrum planes ((B, N/2), (B, N/2)) f32."""
     n1 = n // LANES
     radices, (stw_re, stw_im), (dft_re, dft_im) = _tables_fwd_folded(n)
@@ -691,7 +740,7 @@ def _pallas_rfft_packed(x: jax.Array, n: int, ordered: bool) -> tuple[jax.Array,
     return yre, yim
 
 
-def _pallas_irfft_packed(yre: jax.Array, yim: jax.Array, n: int, ordered: bool) -> jax.Array:
+def _pallas_irfft_packed_impl(yre: jax.Array, yim: jax.Array, n: int, ordered: bool) -> jax.Array:
     """Packed half-spectrum planes ((B, N/2) x2) -> (B, N) f32, unscaled."""
     n1 = n // LANES
     radices, (stw_re, stw_im), (mtw_re, mtw_im), ms, d, c0 = _rifft_tables(n)
@@ -892,7 +941,33 @@ def _cfft_pair_large(xre, xim, n, forward, ordered):
     return fr, fi
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _cfft_pair(xre, xim, n, direction, ordered):
+    """Complex FFT on planes with an exact adjoint rule.
+
+    Pallas calls are opaque to JAX autodiff, so the engine defines its own
+    VJP. On (re, im) planes the transform is REAL-linear with a symmetric
+    DFT matrix, which gives the clean identity: the transpose of the
+    {forward, backward} x {ordered, unordered} map is the opposite
+    direction with the SAME ordering flag (the engine-internal permutation
+    P transposes to P^-1, which is exactly what the reverse pipeline
+    consumes). Holds verbatim for the composite large-N path."""
+    return _cfft_pair_impl(xre, xim, n, direction, ordered)
+
+
+def _cfft_pair_fwd(xre, xim, n, direction, ordered):
+    return _cfft_pair_impl(xre, xim, n, direction, ordered), None
+
+
+def _cfft_pair_bwd(n, direction, ordered, _res, ct):
+    odir = FFT_BACKWARD if direction == FFT_FORWARD else FFT_FORWARD
+    return _cfft_pair_impl(ct[0], ct[1], n, odir, ordered)
+
+
+_cfft_pair.defvjp(_cfft_pair_fwd, _cfft_pair_bwd)
+
+
+def _cfft_pair_impl(xre, xim, n, direction, ordered):
     forward = direction == FFT_FORWARD
     if n > _MAX_N:
         return _cfft_pair_large(xre, xim, n, forward, ordered)
