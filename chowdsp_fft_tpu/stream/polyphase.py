@@ -53,21 +53,39 @@ def _conv_valid(x: jax.Array, h: jax.Array, stride: int) -> jax.Array:
     return out[:, 0, :]
 
 
-def polyphase_decimate(x: jax.Array, h: jax.Array, factor: int) -> jax.Array:
+def polyphase_decimate(
+    x: jax.Array, h: jax.Array, factor: int, block: int = 4096
+) -> jax.Array:
     """Decimate (..., T) by `factor` after FIR anti-alias filtering.
 
     Equivalent to scipy.signal.upfirdn(h, x, 1, factor) restricted to the
     first T//factor full-history outputs (zero-padded warmup at the left
     edge, matching lfilter-then-downsample semantics).
+
+    Long streams are internally framed into overlapped `block`-sample rows
+    (gather-free, stream/ols framing) so the convolution runs with a large
+    batch dimension: XLA's TPU lowering of a single-row (1, 1, T) conv
+    measured ~7ms for 1M samples — 300x slower than the same conv batched
+    as rows (benchmarks/NOTES.md).
     """
+    from .ols import _frame_overlap  # local import: avoid a module cycle
+
     x = jnp.asarray(x, jnp.float32)
     h = jnp.asarray(h, jnp.float32)
     taps = h.shape[-1]
     batch_shape = x.shape[:-1]
     t = x.shape[-1]
     xb = x.reshape(-1, t)
-    xb = jnp.pad(xb, ((0, 0), (taps - 1, 0)))  # zero initial state
-    y = _conv_valid(xb, h, stride=factor)
+    b = xb.shape[0]
+    if t <= 2 * block:
+        xb = jnp.pad(xb, ((0, 0), (taps - 1, 0)))  # zero initial state
+        y = _conv_valid(xb, h, stride=factor)
+        return y.reshape(*batch_shape, -1)
+    blk = block - block % factor  # frame starts stay phase-aligned
+    frames = _frame_overlap(xb, blk, taps - 1)  # (B, nb, taps-1+blk)
+    nb = frames.shape[-2]
+    y = _conv_valid(frames.reshape(b * nb, -1), h, stride=factor)
+    y = y.reshape(b, nb * (blk // factor))[..., : t // factor]
     return y.reshape(*batch_shape, -1)
 
 
