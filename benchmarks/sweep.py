@@ -119,16 +119,19 @@ def config2_sweep(results, quick=False):
         span = max(64, (1 << 25) // (b * n))  # iteration span scaled to size
         pair = (8, 8 + span)
 
+        # Full-width carries: a (B,1)->(B,N) broadcast carry costs ~1ms/iter
+        # on wide rows and a [0]-element carry lets XLA DCE local stages
+        # (benchmarks/NOTES.md) — both produced fictional numbers.
         def body_r(v):
             re, im = cf.rfft_packed(v)
-            return v + re[:, :1] * 1e-30
+            return v + jnp.concatenate([re, im], axis=-1) * 1e-30
 
         t_r = measure(body_r, x, pair)
 
         def body_c(v):
             r, i = v
-            s = cf.fft(jax.lax.complex(r, i))
-            return (r + s.real[:, :1] * 1e-30, i)
+            sr, si = cf.fft_planes(r, i)
+            return (r + sr * 1e-30, i + si * 1e-30)
 
         t_c = measure(body_c, (zr, zi), pair)
         r_ms = b * n / t_r / 1e6
@@ -167,7 +170,7 @@ def config3_fir(results, quick=False):
     # one kernel sweep (gather-free framing).
     def body_ols(v):
         y = fir_filter_ols(v, h, block=8192)
-        return v + y[:, :1] * 1e-30
+        return v + y * 1e-30
 
     per_ols = measure(body_ols, x, (4, 68))
     ols_msps = streams * t / per_ols / 1e6
@@ -176,7 +179,7 @@ def config3_fir(results, quick=False):
     # construction; reported as the real-time-convolver number.
     def body(v):
         y = partitioned_fir_apply(v, h, block=4096)
-        return v + y[:, :1] * 1e-30
+        return v + y * 1e-30
 
     per = measure(body, x, (4, 68))
     msps = streams * t / per / 1e6
@@ -203,9 +206,10 @@ def config5_sdr(results, quick=False):
     def body2(v):
         r, i = v
         audio = chain(jax.lax.complex(r, i))
-        return (r + audio[0, 0] * 1e-30, i)
+        flat = audio.reshape(-1)
+        return (r + jnp.pad(flat, (0, t - flat.shape[0])) * 1e-30, i)
 
-    per = measure(body2, (iqr, iqi), (4, 20))
+    per = measure(body2, (iqr, iqi), (4, 36))
     msps = t / per / 1e6
     results["config5"] = {
         "desc": f"SDR chain: decimate -> {channels}-ch channelizer -> FM demod (1 chip)",

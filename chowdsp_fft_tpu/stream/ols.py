@@ -20,7 +20,6 @@ batches of channels, TPU-first:
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

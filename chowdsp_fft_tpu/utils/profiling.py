@@ -44,8 +44,15 @@ def op_seconds(
 ) -> float:
     """Per-iteration seconds of ``body`` (a carry -> carry function whose
     output depends on the op under test), measured as the scan-slope
-    between two on-device loop lengths, min-of-``repeats``."""
-    import jax.numpy as jnp  # noqa: F401
+    between two on-device loop lengths, min-of-``repeats``.
+
+    Carry-construction pitfalls that have produced fictional numbers
+    (benchmarks/NOTES.md):
+    - a carry that consumes only ``out[0]`` lets XLA dead-code-eliminate
+      most of a conv/elementwise body — feed the FULL output back
+      (``carry + out * 1e-30``, padding if shapes differ);
+    - a ``(B, 1) -> (B, N)`` broadcast in the carry costs ~1ms/iter on
+      wide rows (N >= 2^19) and swamps the op under test."""
 
     ts = []
     for iters in iters_pair:

@@ -7,6 +7,8 @@ the reference guarantees for fft_transform_unordered + fft_convolve_unordered
 (/root/reference/chowdsp_fft.h:140-154, test.cpp:131-232).
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -256,3 +258,15 @@ def test_fft_planes_unordered_roundtrip_both_engines(rng):
         br, bi = map(np.asarray, cf.ifft_planes_unordered(ur, ui, engine=eng))
         assert np.abs(br / n - z.real).max() < tol(n), eng
         assert np.abs(bi / n - z.imag).max() < tol(n), eng
+
+
+def test_vmap_over_pallas_rfft(rng):
+    """vmap over a leading axis matches the flat batch (pallas_call's
+    batching rule + the engine's batch flattening compose)."""
+    n = 512
+    x = rng.standard_normal((3, 4, n)).astype(np.float32)
+    direct_re, direct_im = cf.rfft_packed(x.reshape(12, n), engine="pallas")
+    vm = jax.vmap(lambda v: cf.rfft_packed(v, engine="pallas"))
+    vre, vim = vm(jnp.asarray(x))
+    assert np.abs(np.asarray(vre).reshape(12, -1) - np.asarray(direct_re)).max() < tol(n)
+    assert np.abs(np.asarray(vim).reshape(12, -1) - np.asarray(direct_im)).max() < tol(n)
