@@ -19,6 +19,8 @@ Layers (see SURVEY.md section 7):
 
 from .api import (  # noqa: F401
     FFT_BACKWARD,
+    available_engines,
+    engine_for,
     FFT_COMPLEX,
     FFT_FORWARD,
     FFT_REAL,

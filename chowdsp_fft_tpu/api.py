@@ -72,6 +72,8 @@ __all__ = [
     "is_valid_size",
     "plan_bytes",
     "vector_width_bytes",
+    "available_engines",
+    "engine_for",
     "fft",
     "ifft",
     "rfft",
@@ -163,6 +165,28 @@ def _pick_engine(plan: FFTPlan, engine: str) -> dict[str, Callable]:
 # ---------------------------------------------------------------------------
 # Informational queries
 # ---------------------------------------------------------------------------
+
+
+def available_engines() -> tuple[str, ...]:
+    """Registered engine names, fastest first — the introspection analog of
+    the reference's CPU capability probe (`cpu_supports_avx`,
+    /root/reference/chowdsp_fft.cpp:107-211): it reports what the dispatch
+    layer can actually use on this process's backend."""
+    names = [n for n in ("pallas", "stockham") if n in _ENGINES]
+    names += [n for n in _ENGINES if n not in names]
+    return tuple(names)
+
+
+def engine_for(n: int, kind: str = FFT_COMPLEX) -> str:
+    """Which engine ``engine="auto"`` would select for this transform —
+    the analog of inspecting the reference's setup pointer tag
+    (/root/reference/chowdsp_fft.cpp:213-229)."""
+    plan = cached_plan(n, kind)
+    for name in ("pallas", "stockham"):
+        e = _ENGINES.get(name)
+        if e is not None and e["supports"](plan):
+            return name
+    raise AssertionError("stockham engine should always be available")
 
 
 def plan_bytes(n: int, kind: str = FFT_COMPLEX) -> int:

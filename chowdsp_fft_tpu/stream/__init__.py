@@ -14,3 +14,4 @@ from .polyphase import (  # noqa: F401
 )
 from .demod import am_demod, dc_block, fm_demod  # noqa: F401
 from .channelizer import Channelizer, channelize  # noqa: F401
+from .stft import hann_window, istft, spectrogram, stft  # noqa: F401

@@ -169,3 +169,39 @@ def test_channelizer_real_input(rng):
 def test_channelizer_invalid_channels():
     with pytest.raises(cf.InvalidSizeError):
         stream.Channelizer(7)
+
+
+# ---------------------------------------------------------------------------
+# STFT / ISTFT
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_fft,hop", [(512, 256), (512, 128), (1024, 512)])
+def test_stft_istft_roundtrip(n_fft, hop, rng):
+    t = 8192
+    x = rng.standard_normal((2, t)).astype(np.float32)
+    s = stream.stft(x, n_fft=n_fft, hop=hop)
+    back = np.asarray(stream.istft(s, hop=hop, length=t))
+    assert back.shape == x.shape
+    assert np.abs(back - x).max() < 1e-4
+
+
+def test_stft_matches_naive_frames(rng):
+    """Frame f of the STFT equals rfft(window * x[f*hop-pad : ... ])."""
+    n_fft, hop, t = 256, 128, 1024
+    x = rng.standard_normal(t).astype(np.float32)
+    s = np.asarray(stream.stft(x, n_fft=n_fft, hop=hop))
+    w = np.asarray(stream.hann_window(n_fft), np.float64)
+    pad = n_fft - hop
+    xp = np.pad(x.astype(np.float64), (pad, n_fft))
+    for f in (0, 3, 7):
+        frame = xp[f * hop : f * hop + n_fft] * w
+        ref = np.fft.rfft(frame)
+        assert np.abs(s[f] - ref).max() < 2e-7 * n_fft * 4
+
+
+def test_spectrogram_shape_and_positivity(rng):
+    x = rng.standard_normal(4096).astype(np.float32)
+    p = np.asarray(stream.spectrogram(x, n_fft=512, hop=256))
+    assert p.ndim == 2 and p.shape[1] == 257
+    assert (p >= 0).all()
