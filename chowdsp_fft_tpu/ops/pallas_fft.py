@@ -321,24 +321,10 @@ def _fft_kernel(
     mtw_im = mtw_im_ref[...][:, None, :]
 
     def merge_matmul(ar, ai):
-        """(N1*TB, 128) x (128, 128) DFT along lanes, on the MXU.
-        Complex product via 3 real matmuls (Karatsuba) in fp32 HIGHEST
-        precision — measured ~30% faster than the 4-matmul form at equal
-        accuracy (err ~7e-6 at N=4096, bound 8.2e-4)."""
-        a2r = ar.reshape(n1 * tb, LANES)
-        a2i = ai.reshape(n1 * tb, LANES)
-        mr = dft_re_ref[...]
-        mi = dft_im_ref[...]
-        dot = functools.partial(
-            jnp.dot,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        p1 = dot(a2r, mr)
-        p2 = dot(a2i, mi)
-        p3 = dot(a2r + a2i, mr + mi)
-        yr = p1 - p2
-        yi = p3 - p1 - p2
+        """(N1*TB, 128) x (128, 128) DFT along lanes, on the MXU
+        (_merge_karatsuba: 3 real matmuls, fp32 HIGHEST — ~30% faster than
+        the 4-matmul form at equal accuracy, err ~7e-6 at N=4096)."""
+        yr, yi = _merge_karatsuba(ar, ai, dft_re_ref[...], dft_im_ref[...], n1 * tb)
         return yr.reshape(n1, tb, LANES), yi.reshape(n1, tb, LANES)
 
     def twiddle(ar, ai):

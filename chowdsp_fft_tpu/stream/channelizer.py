@@ -66,8 +66,16 @@ class Channelizer:
 
         def fir_branches(real_part):
             xb = real_part.reshape(-1, c, steps)
-            rhs = jnp.flip(self.hpoly, -1).reshape(c, 1, k)
-            # One grouped conv: each branch with its own taps.
+            # hpoly is already stored newest-first (flipped once at
+            # construction): conv_general_dilated computes a CORRELATION,
+            # so the effective branch filter is rhs reversed — exactly
+            # proto[j*C + p] as the filter bank requires. (A second flip
+            # here delay-reversed every branch; caught by the differential
+            # polyphase test.)
+            rhs = self.hpoly.reshape(c, 1, k)
+            # One grouped conv: each branch with its own taps. HIGHEST
+            # precision: the TPU default computes fp32 convs through bf16
+            # inputs (~5e-3 relative error).
             out = jax.lax.conv_general_dilated(
                 xb,
                 rhs,
@@ -76,6 +84,7 @@ class Channelizer:
                 dimension_numbers=("NCH", "OIH", "NCH"),
                 feature_group_count=c,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             return out.reshape(*batch_shape, c, steps)
 

@@ -34,9 +34,10 @@ __all__ = [
 
 
 def next_fft_size(n: int) -> int:
-    """Smallest supported FFT size >= n. Prefers powers of two (the Pallas
-    engine's domain); falls back to {2,3,5}-smooth sizes handled by the
-    Stockham engine."""
+    """Smallest power-of-two FFT size >= n. Power of two keeps the stream
+    layer on the Pallas metal engine; a {2,3,5}-smooth size would be up to
+    ~1.6x smaller but runs on the slower portable engine, which loses more
+    than the padding costs."""
     p = 1
     while p < n:
         p <<= 1
@@ -93,7 +94,9 @@ def fir_filter_ols(
     # canonical-complex assembly, no reorder — fft_transform_unordered +
     # pffft-packed layout, as the reference's convolution loop uses).
     hre, him = api.rfft_packed_unordered(hpad, plan=plan, engine=engine)
-    if h.ndim == x.ndim:
+    if h.ndim > 1:
+        # Filters with batch dims broadcast against the stream's batch
+        # dims, not the frames axis — insert the frames axis.
         hre, him = hre[..., None, :], him[..., None, :]
 
     frames = _frame_overlap(x, block, taps - 1)  # (..., nb, n)

@@ -51,8 +51,9 @@ def stft(
     hop = hop or n_fft // 2
     if n_fft % hop:
         raise ValueError("hop must divide n_fft")
-    window = hann_window(n_fft) if window is None else np.asarray(window, np.float32)
-    window = jnp.asarray(window)
+    # stft only multiplies by the window, so traced (jit-argument) windows
+    # are fine here; istft needs a host-side constant for its COLA table.
+    window = jnp.asarray(hann_window(n_fft) if window is None else window, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
     pad = n_fft - hop
     # Right-pad so every input sample (including the tail) appears in

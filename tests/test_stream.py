@@ -205,3 +205,102 @@ def test_spectrogram_shape_and_positivity(rng):
     p = np.asarray(stream.spectrogram(x, n_fft=512, hop=256))
     assert p.ndim == 2 and p.shape[1] == 257
     assert (p >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Regression tests for the code-review findings
+# ---------------------------------------------------------------------------
+
+
+def test_channelizer_matches_mixer_definition(rng):
+    """An analysis channelizer must equal mix-down -> prototype lowpass ->
+    decimate (up to the filterbank's fixed per-channel alignment). This is
+    the independent definition; it caught a delay-reversed branch filter."""
+    c, k, steps = 16, 8, 192
+    t = c * steps
+    n = np.arange(t)
+    z = (rng.standard_normal(t) + 1j * rng.standard_normal(t)).astype(np.complex64)
+    got = np.asarray(stream.channelize(z, c, taps_per_branch=k))
+    proto = np.asarray(stream.design_lowpass(c * k, 1.0 / c), np.float64)
+    for ch in (0, 3, c - 1):
+        mixed = z.astype(np.complex128) * np.exp(-2j * np.pi * ch * n / c)
+        filt = sig.lfilter(proto, [1.0], mixed)
+        # Commutator convention: channel streams sample the filtered mix at
+        # m*C + C-1, with gain 1/C and the standard time-origin phase
+        # exp(2j*pi*ch*(C-1)/C).
+        ref = (
+            filt[c - 1 :: c][:steps]
+            * np.exp(2j * np.pi * ch * (c - 1) / c)
+            / c
+        )
+        err = np.abs(got[ch] - ref).max() / max(np.abs(ref).max(), 1e-12)
+        assert err < 1e-4, (ch, err)
+
+
+def test_polyphase_interpolate_zero_state_alignment(rng):
+    """y[n] = factor * sum_k h[k] u[n-k] (zero state, no warmup drop)."""
+    x = rng.standard_normal(257).astype(np.float32)
+    h = rng.standard_normal(33).astype(np.float32) / 8
+    up = 4
+    y = np.asarray(stream.polyphase_interpolate(x, h, up))
+    u = np.zeros(x.size * up)
+    u[::up] = x.astype(np.float64)
+    ref = up * sig.lfilter(h.astype(np.float64), [1.0], u)
+    np.testing.assert_allclose(y, ref, atol=2e-5)
+
+
+def test_polyphase_interpolate_framed_matches_short(rng):
+    """Long-stream framed path == short path (same zero-state math)."""
+    x = rng.standard_normal(20000).astype(np.float32)
+    h = rng.standard_normal(63).astype(np.float32) / 8
+    y_framed = np.asarray(stream.polyphase_interpolate(x, h, 2, block=2048))
+    y_short = np.asarray(stream.polyphase_interpolate(x, h, 2, block=100000))
+    np.testing.assert_allclose(y_framed, y_short, atol=2e-5)
+
+
+def test_polyphase_updown_roundtrip_alignment(rng):
+    """interpolate(f) then decimate(f) preserves timing (no shift)."""
+    x = rng.standard_normal(4096).astype(np.float32)
+    up = 4
+    h = np.asarray(stream.design_lowpass(128, 0.9 / up), np.float32)
+    y = np.asarray(
+        stream.polyphase_decimate(stream.polyphase_interpolate(x, h, up), h, up)
+    )
+    # Compare against the double-filter reference with the same zero-state
+    # conventions (group delay of h*h remains, but no extra shift).
+    u = np.zeros(x.size * up)
+    u[::up] = x.astype(np.float64)
+    ref_hi = up * sig.lfilter(h.astype(np.float64), [1.0], u)
+    ref = sig.lfilter(h.astype(np.float64), [1.0], ref_hi)[::up][: y.size]
+    np.testing.assert_allclose(y, ref, atol=2e-4)
+
+
+def test_polyphase_decimate_length_consistent_across_block(rng):
+    x = rng.standard_normal(1001).astype(np.float32)
+    h = rng.standard_normal(21).astype(np.float32) / 4
+    a = np.asarray(stream.polyphase_decimate(x, h, 3, block=4096))
+    b = np.asarray(stream.polyphase_decimate(x, h, 3, block=256))
+    assert a.shape == b.shape == (1001 // 3,)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_fir_filter_ols_middle_ndim_filter(rng):
+    """h with batch dims below x's rank broadcasts per-stream, not per-frame."""
+    x = rng.standard_normal((4, 2, 3000)).astype(np.float32)
+    h = (rng.standard_normal((2, 65)) / 8).astype(np.float32)
+    y = np.asarray(stream.fir_filter_ols(x, h))
+    for i in range(4):
+        for j in range(2):
+            ref = lfilter_ref(h[j], x[i, j])
+            np.testing.assert_allclose(y[i, j], ref, atol=5e-4)
+
+
+def test_stft_accepts_traced_window(rng):
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal(2048).astype(np.float32)
+    w = jnp.asarray(np.hanning(512).astype(np.float32))
+    f = jax.jit(lambda v, ww: stream.stft(v, n_fft=512, hop=256, window=ww))
+    s = f(jnp.asarray(x), w)
+    assert s.shape[-1] == 257
