@@ -57,8 +57,16 @@ def irfft(a, n: int | None = None, axis: int = -1, engine: str = "auto"):
     if n is None:
         n = 2 * (a.shape[-1] - 1)
     bins = n // 2 + 1
-    a = _maybe_pad_or_trim(a, bins)
-    out = api.irfft(a.astype(jnp.complex64), engine=engine) * (1.0 / n)
+    a = _maybe_pad_or_trim(a, bins).astype(jnp.complex64)
+    if n % 2:
+        # Odd n (no Nyquist bin): the half-complex core is even-only, so
+        # reconstruct via Hermitian extension + a full complex inverse —
+        # exactly numpy's semantics, shape (..., n).
+        tail = jnp.conj(jnp.flip(a[..., 1:], axis=-1))
+        full = jnp.concatenate([a, tail], axis=-1)
+        out = jnp.real(api.ifft(full, engine=engine)) * (1.0 / n)
+    else:
+        out = api.irfft(a, engine=engine) * (1.0 / n)
     return jnp.moveaxis(out, -1, axis)
 
 

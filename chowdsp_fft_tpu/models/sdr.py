@@ -28,7 +28,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..stream import (
     Channelizer,
     design_lowpass,
-    fir_filter_ols,
     fm_demod,
     polyphase_decimate,
 )
@@ -72,8 +71,9 @@ class SDRChain:
         """Per-channel FM demod + audio filtering. channels: (..., C, S)."""
         c = self.config
         audio = fm_demod(channels, gain=c.fm_gain)
-        audio = fir_filter_ols(audio, self.audio_lp, engine=c.engine)
-        return audio[..., :: c.audio_decimation]
+        # Decimating filter: computes only the kept output samples
+        # (filter-at-full-rate-then-slice did audio_decimation x the work).
+        return polyphase_decimate(audio, self.audio_lp, c.audio_decimation)
 
     def __call__(self, iq: jax.Array) -> jax.Array:
         """(..., T) complex IQ -> (..., C, T/(decim*C*audio_decim)) audio."""

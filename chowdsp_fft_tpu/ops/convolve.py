@@ -51,7 +51,9 @@ def convolve_accumulate_packed(
     col = jax.lax.broadcasted_iota(jnp.int32, pr.shape, pr.ndim - 1)
     pr = jnp.where(col == 0, a_re * b_re, pr)  # DC * DC
     pi = jnp.where(col == 0, a_im * b_im, pi)  # Nyq * Nyq
-    if scaling != 1.0:
+    # Only skip the multiply for static Python scalars: `scaling != 1.0`
+    # on a traced jax.Array raises TracerBoolConversionError.
+    if not (isinstance(scaling, (int, float)) and scaling == 1.0):
         s = jnp.asarray(scaling, jnp.float32)
         pr, pi = pr * s, pi * s
     if ab is None:
@@ -75,7 +77,7 @@ def convolve_accumulate(
     pointers); under jit XLA buffer-donates this to the same thing.
     """
     prod = a * b
-    if scaling != 1.0:
+    if not (isinstance(scaling, (int, float)) and scaling == 1.0):
         prod = prod * jnp.asarray(scaling, dtype=prod.dtype if not jnp.iscomplexobj(prod) else jnp.float32)
     if ab is None:
         return prod

@@ -20,9 +20,13 @@ TIME_AXIS = "time"
 
 
 def dsp_mesh(n_devices: int | None = None, axis: str = TIME_AXIS) -> Mesh:
-    """1-D mesh over the first n_devices (default: all local devices)."""
+    """1-D mesh over the first n_devices (default: all local devices).
+    Raises if fewer devices exist — silently returning a smaller mesh
+    would leave the caller believing work is split n_devices ways."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 

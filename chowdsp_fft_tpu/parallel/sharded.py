@@ -36,7 +36,20 @@ __all__ = [
 def halo_exchange_left(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
     """Inside shard_map: prepend each device's chunk with the last `halo`
     samples of its left neighbor (zeros on device 0). x_local: (..., T_loc).
+
+    Shapes are static, so misuse fails loudly at trace time: halo == 0 is
+    a no-op (`x[..., -0:]` would silently select the WHOLE chunk), and a
+    halo longer than the local shard needs a multi-hop exchange this
+    single-ppermute implementation does not do.
     """
+    if halo == 0:
+        return x_local
+    t_loc = x_local.shape[-1]
+    if halo > t_loc:
+        raise ValueError(
+            f"halo ({halo}) exceeds the local shard length ({t_loc}); "
+            "use fewer devices or longer shards (single-hop halo exchange)"
+        )
     n = jax.lax.axis_size(axis_name)
     tail = x_local[..., -halo:]
     # send tail of device i to device i+1 (no wraparound: device 0 gets 0s)

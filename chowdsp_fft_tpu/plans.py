@@ -84,7 +84,10 @@ def is_valid_size(n: int, kind: TransformKind = FFT_COMPLEX) -> bool:
     except InvalidSizeError:
         return False
     if kind == FFT_REAL:
-        return n % 2 == 0 and n >= 4
+        # N == 2 is the degenerate length-1 "complex FFT" (identity) that
+        # make_plan handles explicitly; the JUCE adapter needs it for
+        # order-1 real transforms.
+        return n % 2 == 0 and n >= 2
     return n >= 2
 
 

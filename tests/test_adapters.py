@@ -70,3 +70,13 @@ def test_juce_small_order(rng):
     f = JuceStyleFFT(order=2)
     z = (rng.standard_normal(4) + 1j * rng.standard_normal(4)).astype(np.complex64)
     np.testing.assert_allclose(np.asarray(f.perform(z)), np.fft.fft(z), atol=1e-5)
+
+
+def test_numpy_like_irfft_odd_n(rng):
+    from chowdsp_fft_tpu.adapters import numpy_like
+
+    spec = (rng.standard_normal(5) + 1j * rng.standard_normal(5)).astype(np.complex64)
+    got = np.asarray(numpy_like.irfft(spec, n=9))
+    ref = np.fft.irfft(spec.astype(np.complex128), n=9)
+    assert got.shape == (9,)
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -249,3 +249,27 @@ def test_plan_save_load_roundtrip(tmp_path, rng):
     got = np.asarray(cf.rfft(x, plan=q))
     ref = np.fft.rfft(x.astype(np.float64), axis=-1)
     assert np.abs(got - ref).max() < tol(768)
+
+
+def test_traced_scaling(rng):
+    """scaling may be a traced jax.Array (per-frame gains, learned scales)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = rand_complex(rng, (2, 64))
+    b = rand_complex(rng, (2, 64))
+    f = jax.jit(lambda s: cf.multiply_spectra(jnp.asarray(a), jnp.asarray(b), scaling=s))
+    got = np.asarray(f(jnp.float32(2.0)))
+    np.testing.assert_allclose(got, 2.0 * a * b, rtol=1e-5)
+    fp = jax.jit(
+        lambda s: cf.convolve_accumulate_packed((jnp.abs(a), jnp.abs(b)), (jnp.abs(b), jnp.abs(a)), scaling=s)
+    )
+    fp(jnp.float32(0.5))  # must trace without TracerBoolConversionError
+
+
+def test_real_n2_degenerate(rng):
+    assert cf.is_valid_size(2, cf.FFT_REAL)
+    x = rng.standard_normal((3, 2)).astype(np.float32)
+    got = np.asarray(cf.rfft(x, engine="stockham"))
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert np.abs(got - ref).max() < 1e-5

@@ -132,3 +132,26 @@ def test_sdr_chain_recovers_fm_tone(rng):
     # audio sample period = dec * c * audio_decimation wideband samples
     expected_bin = msg_f * dec * c * cfg.audio_decimation * a.size
     assert abs(spec.argmax() - expected_bin) <= 2
+
+
+def test_halo_exchange_guards():
+    """halo=0 is a no-op; halo beyond the shard fails loudly at trace time."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    mesh = parallel.dsp_mesh(4, axis=parallel.TIME_AXIS)
+    x = jnp.arange(4 * 64, dtype=jnp.float32)
+    h1 = jnp.ones(1, jnp.float32)  # taps=1 -> halo=0
+    y = np.asarray(parallel.sharded_fir_ols(x, h1, mesh))
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, np.asarray(x), rtol=1e-5, atol=1e-3)
+    hbig = jnp.ones(200, jnp.float32) / 200  # halo 199 > shard 64
+    with _pytest.raises(ValueError, match="halo"):
+        parallel.sharded_fir_ols(x, hbig, mesh)
+
+
+def test_dsp_mesh_rejects_too_many_devices():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="devices"):
+        parallel.dsp_mesh(64)
