@@ -57,7 +57,10 @@ __all__ = [
 
 LANES = 128  # TPU vector lane count == the merge radix
 _MIN_N = 2 * LANES  # smallest N with a nontrivial sublane FFT
-_MAX_N = 32768  # VMEM budget bound for a single-block transform
+# Single-kernel bound: N=2^17 compiles and runs on v5e (tb=8); 2^18 fails
+# Mosaic compilation. Measured 1.6-2.2x faster than the HBM-staged
+# composite at 2^16..2^17, so the kernel runs as large as it can.
+_MAX_N = 131072
 _MAX_COMPOSITE = 1 << 20  # two-level four-step (HBM-staged) upper bound
 
 # VMEM working set per grid step scales as batch_tile * N; keep
@@ -1007,7 +1010,9 @@ def cfft_unordered(x, plan=None, direction=FFT_FORWARD):
     return _cfft_complex(x, plan, direction, ordered=False)
 
 
-_MAX_FUSED_REAL = 2 * _MAX_N  # fused direct-real kernel bound
+# Fused direct-real kernel bound: the real kernel runs the full-length
+# complex pipeline internally, so it shares the single-kernel VMEM limit.
+_MAX_FUSED_REAL = _MAX_N
 
 
 def rfft_packed(x, plan=None, ordered: bool = True):

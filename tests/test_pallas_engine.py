@@ -207,8 +207,9 @@ def test_convolve_accumulate_packed_accumulates(rng):
 # ---------------------------------------------------------------------------
 
 
-def test_composite_cfft_roundtrip(rng):
-    """N=65536 exceeds one kernel's VMEM budget -> two-level four-step."""
+def test_single_kernel_large_roundtrip(rng):
+    """N=65536 now runs in ONE kernel (the cap is 2^17); differential +
+    round trip through the public API."""
     n = 65536
     x = rand_complex(rng, (2, n))
     got = np.asarray(cf.fft(x, engine="pallas"))
@@ -218,23 +219,42 @@ def test_composite_cfft_roundtrip(rng):
     assert np.abs(back - x).max() < tol(n)
 
 
+def test_composite_cfft_roundtrip(rng):
+    """The HBM-staged two-level four-step, exercised directly (dispatch
+    only uses it above 2^17; testing at 2^16 keeps interpret mode fast)."""
+    n = 65536
+    x = rand_complex(rng, (2, n))
+    yr, yi = pallas_fft._cfft_pair_large(
+        jnp.asarray(x.real), jnp.asarray(x.imag), n, True, True
+    )
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert np.abs(got - ref).max() < tol(n)
+    br, bi = pallas_fft._cfft_pair_large(yr, yi, n, False, True)
+    back = (np.asarray(br) + 1j * np.asarray(bi)) / n
+    assert np.abs(back - x).max() < tol(n)
+
+
 def test_composite_unordered_roundtrip(rng):
     n = 65536
     x = rand_complex(rng, (2, n))
-    u = cf.fft_unordered(x, engine="pallas")
-    back = np.asarray(cf.ifft_unordered(u, engine="pallas")) / n
+    ur, ui = pallas_fft._cfft_pair_large(
+        jnp.asarray(x.real), jnp.asarray(x.imag), n, True, False
+    )
+    br, bi = pallas_fft._cfft_pair_large(ur, ui, n, False, False)
+    back = (np.asarray(br) + 1j * np.asarray(bi)) / n
     assert np.abs(back - x).max() < tol(n)
 
 
 def test_large_rfft_via_half(rng):
-    """Real N above the fused-kernel bound goes through the half-complex
-    split over the composite complex engine."""
-    n = 131072
+    """Real N above the fused-kernel bound goes through the batch-paired
+    half-complex split (exercised directly at a test-friendly size)."""
+    n = 65536
     x = rng.standard_normal((2, n)).astype(np.float32)
-    spec = np.asarray(cf.rfft(x, engine="pallas"))
+    spec = np.asarray(pallas_fft._rfft_via_half(jnp.asarray(x)))
     ref = np.fft.rfft(x.astype(np.float64), axis=-1)
     assert np.abs(spec - ref).max() < tol(n)
-    back = np.asarray(cf.irfft(spec.astype(np.complex64), engine="pallas")) / n
+    back = np.asarray(pallas_fft._irfft_via_half(spec.astype(np.complex64))) / n
     assert np.abs(back - x).max() < tol(n)
 
 
