@@ -15,3 +15,9 @@ from .sharded import (  # noqa: F401
     sharded_fir_ols,
     sharded_partitioned_fir,
 )
+from .dist_fft import (  # noqa: F401
+    sharded_fft_convolve,
+    sharded_fft_planes,
+    sharded_ifft_planes,
+    spectrum_order,
+)
