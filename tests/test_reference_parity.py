@@ -187,3 +187,20 @@ def test_reference_rejects_what_we_reject(ref):
     assert not setup
     with pytest.raises(cf.InvalidSizeError):
         cf.make_plan(112, cf.FFT_COMPLEX)
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_packed_planes_match_reference_packed_layout(n, ref, rng):
+    """The fused fast path's packed SoA planes, interleaved, ARE pffft's
+    packed real spectrum — bit-layout parity of the performance path, not
+    just the canonical-complex compatibility view."""
+    x = rng.standard_normal(n).astype(np.float32)
+    r = RefFFT(ref, n, FFT_REAL)
+    ref_out = r.transform(x, FFT_FORWARD)  # [DC, Nyq, re1, im1, ...]
+    re, im = map(np.asarray, cf.rfft_packed(x))
+    ours = np.empty(n, np.float32)
+    ours[0] = re[0]
+    ours[1] = im[0]  # Nyquist packed into im[0]
+    ours[2::2] = re[1:]
+    ours[3::2] = im[1:]
+    np.testing.assert_allclose(ours, ref_out, atol=tol(n), rtol=0)
