@@ -1028,14 +1028,9 @@ def rfft_packed(x, plan=None, ordered: bool = True):
     n = x.shape[-1]
     m = n // 2
     if n > _MAX_FUSED_REAL:
-        za_re, za_im, zb_re, zb_im, b, batch_shape = _rfft_pair_planes(x)
-        # (m+1)-bin planes -> packed m-bin planes (Nyquist into im[0]),
-        # even/odd rows re-interleaved by a free leading reshape.
-        re2 = jnp.stack([za_re[..., :m], zb_re[..., :m]], axis=1).reshape(-1, m)[:b]
-        im_a = jnp.concatenate([za_re[..., m:], za_im[..., 1:m]], axis=-1)
-        im_b = jnp.concatenate([zb_re[..., m:], zb_im[..., 1:m]], axis=-1)
-        im2 = jnp.stack([im_a, im_b], axis=1).reshape(-1, m)[:b]
-        return re2.reshape(*batch_shape, m), im2.reshape(*batch_shape, m)
+        # Two-level direct-real composite (always ordered; a legal choice
+        # for the "unordered" layout as well).
+        return _rfft_direct_composite(x)
     xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
     yre, yim = _pallas_rfft_packed(xf, n, ordered)
     return yre.reshape(*batch_shape, m), yim.reshape(*batch_shape, m)
@@ -1045,26 +1040,10 @@ def irfft_packed(yre, yim, plan=None, ordered: bool = True):
     """Unscaled inverse of :func:`rfft_packed` -> (..., N) f32."""
     m = yre.shape[-1]
     n = 2 * m
+    if n > _MAX_FUSED_REAL:
+        return _irfft_direct_composite(yre, yim)
     rf, batch_shape = _flatten_batch(yre.astype(jnp.float32))
     if_, _ = _flatten_batch(yim.astype(jnp.float32))
-    if n > _MAX_FUSED_REAL:
-        b = rf.shape[0]
-        if b % 2:
-            rf = jnp.pad(rf, ((0, 1), (0, 0)))
-            if_ = jnp.pad(if_, ((0, 1), (0, 0)))
-        rp = rf.reshape(-1, 2, m)
-        ip = if_.reshape(-1, 2, m)
-        zeros = jnp.zeros_like(rp[:, 0, :1])
-
-        def unpack(rr, ii):  # packed m bins -> canonical (m+1)-bin planes
-            cre = jnp.concatenate([rr, ii[..., :1]], axis=-1)
-            cim = jnp.concatenate([zeros, ii[..., 1:], zeros], axis=-1)
-            return cre, cim
-
-        a_re, a_im = unpack(rp[:, 0, :], ip[:, 0, :])
-        b_re, b_im = unpack(rp[:, 1, :], ip[:, 1, :])
-        x = _irfft_pair_planes(a_re, a_im, b_re, b_im, n)[:b]
-        return x.reshape(*batch_shape, n)
     x = _pallas_irfft_packed(rf, if_, n, ordered)
     return x.reshape(*batch_shape, n)
 
@@ -1086,6 +1065,176 @@ def _rfft_via_half(x, plan=None):
         [jax.lax.complex(za_re, za_im), jax.lax.complex(zb_re, zb_im)], axis=1
     ).reshape(-1, n // 2 + 1)[:b]
     return out.reshape(*batch_shape, n // 2 + 1)
+
+
+@functools.lru_cache(maxsize=16)
+def _direct_real_tables(n: int):
+    """Tables for the composite direct-real forward: N = A*C, level-1 real
+    FFTs of length A down the columns, level-2 complex FFTs of length C.
+
+      X[k1 + A*k2] = sum_c W_C^{-k2 c} W_N^{-k1 c} F_c[k1],
+      F_c = rfft_A of the stride-C subsequence x[a*C + c]
+
+    Returns (a, c, tw (A/2-1, C) for k1 in [1, A/2), nyt (1, C) =
+    W_{2C}^{-c} — the half-bin modulation that turns the Nyquist row's
+    shifted transform into a plain C-FFT)."""
+    a, c = _split_large(n)
+    cc = np.arange(c, dtype=np.float64)[None, :]
+    k1 = np.arange(1, a // 2, dtype=np.float64)[:, None]
+    ang = -2.0 * np.pi * (k1 * cc) / float(n)
+    tw = (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+    ang2 = -np.pi * cc / float(c)
+    nyt = (np.cos(ang2).astype(np.float32), np.sin(ang2).astype(np.float32))
+    return a, c, tw, nyt
+
+
+def _rfft_direct_composite(x):
+    """Large-N real forward as a two-level DIRECT-real composite: the fused
+    real kernel does level 1 (half the data volume of a complex level 1),
+    level 2 runs only the A/2+1 Hermitian-independent columns. Replaces the
+    batch-paired half-complex split on the forward side — that path's
+    full-length complex transform plus reversal/combine passes measured
+    ~2x this one's traffic. Returns ORDERED packed planes (..., N/2)."""
+    n = x.shape[-1]
+    a, c, (twr, twi), (nytr, nyti) = _direct_real_tables(n)
+    xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
+    b = xf.shape[0]
+    half_a = a // 2
+
+    # Level 1: real FFTs of the stride-C subsequences = rows after one
+    # transpose. Packed planes (B, C, A/2), Nyquist of each row in im[0].
+    xt = jnp.swapaxes(xf.reshape(b, a, c), 1, 2).reshape(b * c, a)
+    pre, pim = _pallas_rfft_packed_impl(xt, a, True)
+    pre = jnp.swapaxes(pre.reshape(b, c, half_a), 1, 2)  # (B, A/2, C)
+    pim = jnp.swapaxes(pim.reshape(b, c, half_a), 1, 2)
+
+    # Level-2 input rows: DC (real), k1 = 1..A/2-1 (twiddled complex),
+    # Nyquist (real, pre-modulated by W_{2C}^{-c} so its half-bin-shifted
+    # transform becomes a plain C-FFT).
+    dc = pre[:, :1, :]
+    ny = pim[:, :1, :]
+    mr = pre[:, 1:, :] * twr - pim[:, 1:, :] * twi
+    mi = pre[:, 1:, :] * twi + pim[:, 1:, :] * twr
+    re2 = jnp.concatenate([dc, mr, ny * nytr], axis=1)  # (B, A/2+1, C)
+    im2 = jnp.concatenate([jnp.zeros_like(dc), mi, ny * nyti], axis=1)
+
+    # Level 2: ordered complex FFTs over c. Row r of G holds X[r + A*k2]
+    # (row A/2 is the Nyquist-derived k1 = A/2 line).
+    gr, gi = _cfft_pair(re2.reshape(-1, c), im2.reshape(-1, c), c, FFT_FORWARD, True)
+    gr = jnp.swapaxes(gr.reshape(b, half_a + 1, c), 1, 2)  # (B, C, A/2+1)
+    gi = jnp.swapaxes(gi.reshape(b, half_a + 1, c), 1, 2)
+
+    # Assembly: bins k = k1 + A*k2 for k < N/2 need k2 < C/2 rows with all
+    # A k1 values; k1 in (A/2, A) comes from Hermitian symmetry,
+    # X[k1 + A*k2] = conj(G[A-k1, C-1-k2]).
+    first_r = gr[:, : c // 2, :]
+    first_i = gi[:, : c // 2, :]
+    sec_r = jnp.flip(jnp.flip(gr[:, c // 2 :, 1:half_a], axis=1), axis=2)
+    sec_i = -jnp.flip(jnp.flip(gi[:, c // 2 :, 1:half_a], axis=1), axis=2)
+    out_r = jnp.concatenate([first_r, sec_r], axis=2).reshape(b, n // 2)
+    out_i = jnp.concatenate([first_i, sec_i], axis=2).reshape(b, n // 2)
+    # Pack the global Nyquist X[N/2] = G[0, C/2] (real) into im[0].
+    nyq = gr[:, c // 2, 0][:, None]
+    col = jax.lax.broadcasted_iota(jnp.int32, out_i.shape, 1)
+    out_i = jnp.where(col == 0, nyq, out_i)
+    m = n // 2
+    return out_r.reshape(*batch_shape, m), out_i.reshape(*batch_shape, m)
+
+
+def _irfft_direct_composite(yre, yim):
+    """Mirror of :func:`_rfft_direct_composite` (unscaled inverse):
+    rebuild the level-2 spectra G[k1 <= A/2, all k2] from the ordered
+    packed planes via Hermitian symmetry, backward C-FFTs, un-twiddle,
+    then the fused packed real inverse for level 1."""
+    m = yre.shape[-1]
+    n = 2 * m
+    a, c, (twr, twi), (nytr, nyti) = _direct_real_tables(n)
+    rf, batch_shape = _flatten_batch(yre.astype(jnp.float32))
+    if_, _ = _flatten_batch(yim.astype(jnp.float32))
+    b = rf.shape[0]
+    half_a = a // 2
+
+    nyq = if_[:, :1]  # X[N/2]
+    col = jax.lax.broadcasted_iota(jnp.int32, if_.shape, 1)
+    if_ = jnp.where(col == 0, 0.0, if_)
+    pr = rf.reshape(b, c // 2, a)  # rows k2 < C/2: [k1 0..A/2 | hermitian part]
+    pi = if_.reshape(b, c // 2, a)
+
+    # G[k2 < C/2, k1 <= A/2]: direct columns.
+    g1r = pr[:, :, : half_a + 1]
+    g1i = pi[:, :, : half_a + 1]
+    # G[k2 >= C/2, k1 <= A/2] via X[k1 + A*k2] = conj(X[(A-k1) + A*(C-1-k2)]):
+    # columns A-k1 in (A/2, A) of row C-1-k2 — i.e. the hermitian part
+    # flipped on both axes — except k1 = 0, which wraps to column 0 of row
+    # C-k2, and k2 = C/2 whose k1=0 slot is the packed Nyquist.
+    tail_r = jnp.flip(jnp.flip(pr[:, :, half_a + 1 :], axis=1), axis=2)
+    tail_i = -jnp.flip(jnp.flip(pi[:, :, half_a + 1 :], axis=1), axis=2)
+    # columns k1 = 1..A/2-1 of rows k2 = C/2+1..C-1 ... rows C/2..C-1:
+    # tail covers k2' = C/2..C-1? flip(axis=1) maps row r -> C/2-1-r, i.e.
+    # k2 = C-1-(C/2-1-r)... assemble explicitly below.
+    # k1 = A/2 column for k2 >= C/2: conj(G[A/2, C-1-k2]) = conj of the
+    # DIRECT A/2 column flipped on k2.
+    colA2_r = jnp.flip(pr[:, :, half_a : half_a + 1], axis=1)
+    colA2_i = -jnp.flip(pi[:, :, half_a : half_a + 1], axis=1)
+    # k1 = 0 column for k2 > C/2: conj(G[0, C-k2]) = conj of rows 1..C/2-1
+    # of the direct DC column, flipped; k2 = C/2 is the real Nyquist.
+    col0_hi_r = jnp.flip(pr[:, 1:, :1], axis=1)
+    col0_hi_i = -jnp.flip(pi[:, 1:, :1], axis=1)
+
+    # Build G rows k2 = C/2 .. C-1 as (B, C/2, A/2+1):
+    #   k2 = C/2 row: [Nyq, conj-part row C/2-1... ] — handled by the same
+    #   formulas: for k1 >= 1 it is conj(X[(A-k1) + A*(C/2-1)]) etc.
+    ghi_mid_r = tail_r  # (B, C/2, A/2-1): k1 = 1..A/2-1, k2 = C/2..C-1?
+    # Row mapping check: we need rows in ascending k2 = C/2..C-1 order.
+    # tail_r[b, r, j] = pr[b, C/2-1-r, a-1-j'] with j' over the hermitian
+    # block: pr[:, :, half_a+1+jj] holds X[(A/2+1+jj) + A*k2]; flipping
+    # jj gives k1 = 1..A/2-1 ascending, and flipping rows gives
+    # C-1-k2_src = C/2..C-1 ascending. So ghi_mid_r rows ARE k2 ascending.
+    g2r = jnp.concatenate(
+        [
+            jnp.concatenate([nyq[:, :, None], col0_hi_r], axis=1),  # k1=0 col
+            ghi_mid_r,
+            colA2_r,
+        ],
+        axis=2,
+    )
+    g2i = jnp.concatenate(
+        [
+            jnp.concatenate([jnp.zeros_like(nyq)[:, :, None], col0_hi_i], axis=1),
+            tail_i,
+            colA2_i,
+        ],
+        axis=2,
+    )
+    gr = jnp.concatenate([g1r, g2r], axis=1)  # (B, C, A/2+1)
+    gi = jnp.concatenate([g1i, g2i], axis=1)
+
+    # Backward C-FFTs over k2 for every k1 row.
+    ur, ui = _cfft_pair(
+        jnp.swapaxes(gr, 1, 2).reshape(-1, c),
+        jnp.swapaxes(gi, 1, 2).reshape(-1, c),
+        c,
+        FFT_BACKWARD,
+        True,
+    )
+    ur = ur.reshape(b, half_a + 1, c)
+    ui = ui.reshape(b, half_a + 1, c)
+
+    # Un-twiddle (conj of the forward tables) and repack level-1 planes.
+    dc = ur[:, :1, :]  # imag analytically 0
+    mr = ur[:, 1:half_a, :] * twr + ui[:, 1:half_a, :] * twi
+    mi = -ur[:, 1:half_a, :] * twi + ui[:, 1:half_a, :] * twr
+    nyr = ur[:, half_a:, :] * nytr + ui[:, half_a:, :] * nyti  # imag ~0
+    pre = jnp.concatenate([dc, mr], axis=1)  # (B, A/2, C) re plane
+    pim = jnp.concatenate([nyr, mi], axis=1)  # im plane, NY packed in row 0
+    xt = _pallas_irfft_packed_impl(
+        jnp.swapaxes(pre, 1, 2).reshape(b * c, half_a),
+        jnp.swapaxes(pim, 1, 2).reshape(b * c, half_a),
+        a,
+        True,
+    )
+    x = jnp.swapaxes(xt.reshape(b, c, a), 1, 2).reshape(b, n)
+    return x.reshape(*batch_shape, n)
 
 
 def _rfft_pair_planes(x):
@@ -1156,8 +1305,6 @@ def rfft(x, plan=None):
     (re/im interleave + Nyquist unpack) costs one extra XLA pass — callers
     on the hot path should use :func:`rfft_packed`."""
     n = x.shape[-1]
-    if n > _MAX_FUSED_REAL:
-        return _rfft_via_half(x, plan)
     yre, yim = rfft_packed(x, plan)
     nyq = yim[..., :1]
     col = jax.lax.broadcasted_iota(jnp.int32, yim.shape, yim.ndim - 1)
@@ -1171,8 +1318,6 @@ def irfft(spec, plan=None):
     """Unscaled inverse real FFT from a canonical complex spectrum."""
     spec = spec.astype(jnp.complex64)
     n = 2 * (spec.shape[-1] - 1)
-    if n > _MAX_FUSED_REAL:
-        return _irfft_via_half(spec, plan)
     yre = spec[..., :-1].real
     yim = spec[..., :-1].imag
     nyq = spec[..., -1:].real
