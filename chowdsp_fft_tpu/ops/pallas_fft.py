@@ -1049,7 +1049,9 @@ def irfft_packed(yre, yim, plan=None, ordered: bool = True):
 
 
 def _rfft_via_half(x, plan=None):
-    """Large-N real FFT via BATCH pairing (used above the fused kernel's
+    """Alternate large-N real path (retained as a tested cross-check for
+    the direct-real composite, which replaced it in dispatch — 3-7x
+    faster): real FFT via BATCH pairing (used above the fused kernel's
     size bound): two real rows become one full-length complex row,
     z = x[2b] + i*x[2b+1], and one cfft serves both — the classic
     two-for-one identity A = (Z + conj(Zrev))/2, B = (Z - conj(Zrev))/2i.
