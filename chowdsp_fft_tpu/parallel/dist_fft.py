@@ -73,24 +73,39 @@ def _dist_split(n: int, n_dev: int) -> tuple[int, int]:
     )
 
 
+def _engine_perm(length: int) -> np.ndarray:
+    """The single-chip engine's unordered bin permutation for a local FFT
+    of this length (identity when the portable engine would be picked)."""
+    from ..plans import FFT_COMPLEX, cached_plan
+
+    if _pf.supports_plan(cached_plan(length, FFT_COMPLEX)):
+        return _pf._kernel_perm(length)
+    return np.arange(length, dtype=np.int64)
+
+
 @functools.lru_cache(maxsize=16)
 def _dist_twiddle(n: int, a: int, forward: bool):
-    """(C, A) table W_N^(sgn * k * q) — rows k (sharded at apply time),
-    columns q."""
+    """(C, A) table W_N^(sgn * k * perm_A(q)) — rows k (sharded at apply
+    time). The local level-1 FFTs run in the engine's UNORDERED layout
+    (no reorder pass); its bin permutation is folded into the twiddle
+    columns here and into :func:`spectrum_order`."""
     c = n // a
     sgn = -1.0 if forward else 1.0
     k = np.arange(c, dtype=np.float64)[:, None]
-    q = np.arange(a, dtype=np.float64)[None, :]
+    q = _engine_perm(a).astype(np.float64)[None, :]
     ang = sgn * 2.0 * np.pi * (k * q) / float(n)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
 def spectrum_order(n: int, n_dev: int) -> np.ndarray:
     """perm with perm[p] = the bin stored at flat position p of the
-    distributed spectrum: p = q*C + t  ->  bin q + A*t."""
+    distributed spectrum: p = q_row*C + t_col -> bin
+    perm_A(q_row) + A * perm_C(t_col) (both engine permutations folded)."""
     a, c = _dist_split(n, n_dev)
+    pa = _engine_perm(a)
+    pc = _engine_perm(c)
     p = np.arange(n, dtype=np.int64)
-    return (p // c) + a * (p % c)
+    return pa[p // c] + a * pc[p % c]
 
 
 def _a2a_transpose(v, axis_name, n_dev):
@@ -139,15 +154,17 @@ def sharded_fft_planes(
         # step 1: (A, C) -> each device holds C/D columns as rows (C/D, A)
         gr = _a2a_transpose(xr, axis_name, n_dev)
         gi = _a2a_transpose(xi, axis_name, n_dev)
-        # step 2: length-A FFTs along the local j axis
-        fr, fi = _pf._cfft_pair(gr, gi, a, FFT_FORWARD, True)
+        # step 2: length-A FFTs along the local j axis, engine-unordered
+        # (the bin permutation is folded into the twiddle + spectrum_order)
+        fr, fi = _pf._cfft_pair(gr, gi, a, FFT_FORWARD, False)
         # step 3: twiddle W_N^{-kq}; twr arrives as this device's (C/D, A) slab
         fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
         # step 4: transpose back -> (A/D, C) rows q_loc
         hr = _a2a_transpose(fr, axis_name, n_dev)
         hi = _a2a_transpose(fi, axis_name, n_dev)
-        # step 5: length-C FFTs along the local k axis -> X[q + A*t] at [q, t]
-        yr, yi = _pf._cfft_pair(hr, hi, c, FFT_FORWARD, True)
+        # step 5: length-C FFTs along the local k axis, engine-unordered:
+        # position [q_row, t_col] holds X[perm_A(q_row) + A*perm_C(t_col)]
+        yr, yi = _pf._cfft_pair(hr, hi, c, FFT_FORWARD, False)
         return yr.reshape(-1), yi.reshape(-1)
 
     return run(re, im, jnp.asarray(twr_h), jnp.asarray(twi_h))
@@ -177,12 +194,13 @@ def sharded_ifft_planes(
     def run(re_loc, im_loc, twr, twi):
         yr = re_loc.reshape(a // n_dev, c)
         yi = im_loc.reshape(a // n_dev, c)
-        # mirror of the forward, backward transforms and conj twiddle
-        hr, hi = _pf._cfft_pair(yr, yi, c, FFT_BACKWARD, True)
+        # mirror of the forward: the reverse pipelines natively consume
+        # the engine-unordered layouts the forward emitted
+        hr, hi = _pf._cfft_pair(yr, yi, c, FFT_BACKWARD, False)
         fr = _a2a_transpose(hr, axis_name, n_dev)
         fi = _a2a_transpose(hi, axis_name, n_dev)
         fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
-        gr, gi = _pf._cfft_pair(fr, fi, a, FFT_BACKWARD, True)
+        gr, gi = _pf._cfft_pair(fr, fi, a, FFT_BACKWARD, False)
         xr = _a2a_transpose(gr, axis_name, n_dev)
         xi = _a2a_transpose(gi, axis_name, n_dev)
         return xr.reshape(-1), xi.reshape(-1)
