@@ -859,71 +859,68 @@ def _kernel_perm(n: int) -> np.ndarray:
     return (q // LANES) + n1 * (q % LANES)
 
 
-@functools.lru_cache(maxsize=16)
-def _large_twiddle(n: int, forward: bool):
-    """(C, A) four-step twiddle W_N^(sgn * c * pi_A(j)), float64 -> f32,
-    columns pre-permuted by the kernel's unordered layout."""
+@functools.lru_cache(maxsize=32)
+def _large_twiddle(n: int, forward: bool, folded: bool = True):
+    """(C, A) four-step twiddle W_N^(sgn * c * k1), float64 -> f32. With
+    ``folded`` the columns are pre-permuted by the kernel's unordered
+    layout (the unordered composite path); without, natural k1 order (the
+    ordered path, whose sub-FFTs emit natural bins)."""
     a, c = _split_large(n)
     sgn = -1.0 if forward else 1.0
-    k1 = _kernel_perm(a).astype(np.float64)[None, :]
+    if folded:
+        k1 = _kernel_perm(a).astype(np.float64)[None, :]
+    else:
+        k1 = np.arange(a, dtype=np.float64)[None, :]
     cc = np.arange(c, dtype=np.float64)[:, None]
     ang = sgn * 2.0 * np.pi * (cc * k1) / float(n)
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def _composite_reorder(y: jax.Array, n: int, inverse: bool) -> jax.Array:
-    """Composite-unordered (j, j2) layout <-> natural bin order as one 5D
-    transpose: g.reshape(B, n1A, 128, n1C, 128) axes (k1A, k2A, k1C, k2C)
-    hold X[k1A + n1A*k2A + A*(k1C + n1C*k2C)]; reversing the four axes makes
-    the row-major flat index equal the bin index. Self-inverse."""
-    a, c = _split_large(n)
-    b = y.shape[0]
-    if not inverse:
-        y5 = y.reshape(b, a // LANES, LANES, c // LANES, LANES)
-    else:
-        y5 = y.reshape(b, LANES, c // LANES, LANES, a // LANES)
-    return jnp.transpose(y5, (0, 4, 3, 2, 1)).reshape(b, n)
-
-
 def _cfft_pair_large(xre, xim, n, forward, ordered):
     a, c = _split_large(n)
     b = xre.shape[0]
-    twr, twi = (jnp.asarray(t) for t in _large_twiddle(n, forward))
+    # Ordered path: ordered sub-FFTs (each reorder is a cheap per-factor
+    # digit transpose) + ONE plain (A, C) <-> (C, A) transpose. The
+    # alternative — unordered sub-FFTs + a single 5D digit-reversing
+    # transpose — measured ~43x over bandwidth (XLA lowers it as a
+    # gather); see NOTES.md.
+    twr, twi = (jnp.asarray(t) for t in _large_twiddle(n, forward, folded=not ordered))
+    direction = FFT_FORWARD if forward else FFT_BACKWARD
 
     def col_major(z):  # (B, A, C) -> (B*C, A)
         return jnp.swapaxes(z.reshape(b, a, c), 1, 2).reshape(b * c, a)
 
-    def row_major(z):  # (B, C, A) -> (B*A, C)
-        return jnp.swapaxes(z.reshape(b, c, a), 1, 2).reshape(b * a, c)
-
     if forward:
-        # FFTs of length A down the columns (unordered over pi_A) ...
-        fr, fi = _pallas_cfft_pair(col_major(xre), col_major(xim), a, True, False)
+        # FFTs of length A down the columns ...
+        fr, fi = _cfft_pair(col_major(xre), col_major(xim), a, direction, ordered)
         fr = fr.reshape(b, c, a)
         fi = fi.reshape(b, c, a)
-        # ... permuted four-step twiddle ...
+        # ... four-step twiddle ...
         fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
-        # ... FFTs of length C along the rows (unordered over pi_C).
-        gr, gi = _pallas_cfft_pair(row_major(fr), row_major(fi), c, True, False)
-        gr = gr.reshape(b, a * c)
-        gi = gi.reshape(b, a * c)
+        # ... FFTs of length C along the rows.
+        fr = jnp.swapaxes(fr, 1, 2).reshape(b * a, c)
+        fi = jnp.swapaxes(fi, 1, 2).reshape(b * a, c)
+        gr, gi = _cfft_pair(fr, fi, c, direction, ordered)
+        gr = gr.reshape(b, a, c)
+        gi = gi.reshape(b, a, c)
         if ordered:
-            gr = _composite_reorder(gr, n, inverse=False)
-            gi = _composite_reorder(gi, n, inverse=False)
-        return gr, gi
+            # natural bin order k = k1 + A*k2 is k2-major: one transpose.
+            gr = jnp.swapaxes(gr, 1, 2)
+            gi = jnp.swapaxes(gi, 1, 2)
+        return gr.reshape(b, n), gi.reshape(b, n)
 
     # Backward: mirror of the forward chain.
     if ordered:
-        xre = _composite_reorder(xre, n, inverse=True)
-        xim = _composite_reorder(xim, n, inverse=True)
-    gr, gi = _pallas_cfft_pair(
-        xre.reshape(b * a, c), xim.reshape(b * a, c), c, False, True
+        xre = jnp.swapaxes(xre.reshape(b, c, a), 1, 2).reshape(b, n)
+        xim = jnp.swapaxes(xim.reshape(b, c, a), 1, 2).reshape(b, n)
+    gr, gi = _cfft_pair(
+        xre.reshape(b * a, c), xim.reshape(b * a, c), c, direction, ordered
     )
     gr = jnp.swapaxes(gr.reshape(b, a, c), 1, 2)  # (B, C, A) axes (c, j)
     gi = jnp.swapaxes(gi.reshape(b, a, c), 1, 2)
     gr, gi = gr * twr - gi * twi, gr * twi + gi * twr
-    fr, fi = _pallas_cfft_pair(
-        gr.reshape(b * c, a), gi.reshape(b * c, a), a, False, True
+    fr, fi = _cfft_pair(
+        gr.reshape(b * c, a), gi.reshape(b * c, a), a, direction, ordered
     )
     fr = jnp.swapaxes(fr.reshape(b, c, a), 1, 2).reshape(b, n)  # n = a*C + c
     fi = jnp.swapaxes(fi.reshape(b, c, a), 1, 2).reshape(b, n)
