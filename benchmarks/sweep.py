@@ -175,10 +175,19 @@ def config3_fir(results, quick=False):
     per_ols = measure(body_ols, x, (4, 68))
     ols_msps = streams * t / per_ols / 1e6
 
+    # Batched partitioned FDL (offline default): all block spectra from one
+    # rfft, shift-and-accumulate along the block axis.
+    def body_part(v):
+        y = partitioned_fir_apply(v, h, block=1024)
+        return v + y * 1e-30
+
+    per_part = measure(body_part, x, (4, 68))
+    part_msps = streams * t / per_part / 1e6
+
     # Streaming mode: block-sequential FDL (lax.scan) — latency-chained by
     # construction; reported as the real-time-convolver number.
     def body(v):
-        y = partitioned_fir_apply(v, h, block=4096)
+        y = partitioned_fir_apply(v, h, block=4096, streaming=True)
         return v + y * 1e-30
 
     per = measure(body, x, (4, 68))
@@ -186,9 +195,13 @@ def config3_fir(results, quick=False):
     results["config3"] = {
         "desc": f"4096-tap frequency-domain FIR on {streams}x{t}-sample streams (1 chip)",
         "ols_batched_Msamples_per_s": round(ols_msps, 1),
+        "partitioned_batched_Msamples_per_s": round(part_msps, 1),
         "streaming_fdl_Msamples_per_s": round(msps, 1),
     }
-    print(f"config3: OLS batched {ols_msps:.1f} Ms/s; streaming FDL {msps:.1f} Ms/s")
+    print(
+        f"config3: OLS batched {ols_msps:.1f} Ms/s; partitioned batched "
+        f"{part_msps:.1f} Ms/s; streaming FDL {msps:.1f} Ms/s"
+    )
 
 
 def config5_sdr(results, quick=False):
@@ -331,6 +344,8 @@ def main():
         "## Config 3 — 4096-tap frequency-domain FIR on 1M-sample streams",
         "",
         f"- batched overlap-save: **{results['config3']['ols_batched_Msamples_per_s']} Msamples/s**; "
+        f"batched partitioned FDL: "
+        f"**{results['config3'].get('partitioned_batched_Msamples_per_s', '-')} Msamples/s**; "
         f"streaming (block-sequential FDL): "
         f"**{results['config3']['streaming_fdl_Msamples_per_s']} Msamples/s** (1 chip)",
         "",

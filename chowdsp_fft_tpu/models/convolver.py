@@ -60,21 +60,10 @@ class MultichannelConvolver:
     # -- offline -----------------------------------------------------------
 
     def apply(self, x: jax.Array) -> jax.Array:
-        """Filter (channels, T) streams -> (channels, T).
-
-        Scans self.fir.step so the IR bank's frequency-domain partitions
-        (computed once in __init__) are reused — rebuilding the FDL per
-        call would redo the whole IR transform inside the traced graph."""
-        x = jnp.asarray(x, jnp.float32)
-        t = x.shape[-1]
-        blk = self.fir.block
-        nb = -(-t // blk)
-        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * blk - t)])
-        blocks = jnp.moveaxis(xp.reshape(*x.shape[:-1], nb, blk), -2, 0)
-        state = self.fir.init_state(x.shape[:-1])
-        _, ys = jax.lax.scan(lambda st, xb: self.fir.step(st, xb), state, blocks)
-        y = jnp.moveaxis(ys, 0, -2).reshape(*x.shape[:-1], nb * blk)
-        return y[..., :t]
+        """Filter (channels, T) streams -> (channels, T): the batched
+        offline FDL, reusing the IR bank's frequency-domain partitions
+        computed once in __init__."""
+        return self.fir.apply_offline(x)
 
     # -- streaming ----------------------------------------------------------
 
