@@ -80,3 +80,21 @@ def test_numpy_like_irfft_odd_n(rng):
     ref = np.fft.irfft(spec.astype(np.complex128), n=9)
     assert got.shape == (9,)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_juce_small_orders(rng):
+    """Orders 1-4 (sizes 2..16) work through the adapter — the reference
+    delegates these to other engines (order >= 5 check at
+    chowdsp_fft_juce.cpp:18-30); here the portable engine covers them.
+    Order 1 regression: real N=2 was rejected by is_valid_size."""
+    from chowdsp_fft_tpu.adapters import JuceStyleFFT
+
+    for order in (1, 2, 4):
+        n = 1 << order
+        f = JuceStyleFFT(order)
+        x = rng.standard_normal(n).astype(np.float32)
+        out = np.asarray(f.perform_real_only_forward_transform(x))
+        ref = np.fft.rfft(x.astype(np.float64))
+        got = out[: 2 * (n // 2 + 1)].view(np.float32)
+        spec = got[0::2] + 1j * got[1::2]
+        assert np.abs(spec - ref).max() < 1e-4, order
