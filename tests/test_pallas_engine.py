@@ -290,3 +290,22 @@ def test_vmap_over_pallas_rfft(rng):
     vre, vim = vm(jnp.asarray(x))
     assert np.abs(np.asarray(vre).reshape(12, -1) - np.asarray(direct_re)).max() < tol(n)
     assert np.abs(np.asarray(vim).reshape(12, -1) - np.asarray(direct_im)).max() < tol(n)
+
+
+@pytest.mark.parametrize(
+    "n,batch",
+    [
+        (131072, 1),  # single-kernel ceiling, batch 1
+        (262144, 3),  # first composite size, odd batch
+        (256, 1),  # smallest metal size
+    ],
+)
+def test_dispatch_boundary_sizes(n, batch, rng):
+    """Sizes at the single-kernel/composite boundary, odd/unit batches."""
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    re, im = map(np.asarray, cf.rfft_packed(x))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert np.abs(re[:, 1:] - ref[:, 1 : n // 2].real).max() < tol(n)
+    assert np.abs(im[:, 0] - ref[:, -1].real).max() < tol(n)
+    back = np.asarray(cf.irfft_packed(re, im)) / n
+    assert np.abs(back - x).max() < tol(n)
