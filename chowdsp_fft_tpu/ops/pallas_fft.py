@@ -81,16 +81,34 @@ def _is_pow2(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 
 
+def _is_smooth_multiple(n: int) -> bool:
+    """N = n1 * 128 with n1 {2,3,5}-smooth — the single-kernel domain
+    (mixed-radix Stockham stages mirror the reference's radix set,
+    /root/reference/simd/chowdsp_fft_impl_common.hpp:51-82)."""
+    if n % LANES:
+        return False
+    from ..plans import InvalidSizeError, factorize
+
+    try:
+        factorize(n // LANES)
+    except InvalidSizeError:
+        return False
+    return True
+
+
 def supports_plan(plan: FFTPlan) -> bool:
     if jax.dtypes.canonicalize_dtype(jnp.float32) != jnp.float32:
         return False
     if plan.kind == FFT_REAL:
-        # Fused direct-real four-step up to 2*_MAX_N; larger sizes go
-        # through the half-complex split over the (possibly composite)
-        # complex engine.
-        return _is_pow2(plan.n) and _MIN_N <= plan.n <= _MAX_COMPOSITE
+        n = plan.n
+        if n <= _MAX_N:  # == the fused real kernel's bound
+            return _MIN_N <= n and _is_smooth_multiple(n)
+        # Above the fused kernel: the two-level composite needs pow2.
+        return _is_pow2(n) and n <= _MAX_COMPOSITE
     n = plan.cfft_n
-    return _is_pow2(n) and _MIN_N <= n <= _MAX_COMPOSITE
+    if n <= _MAX_N:
+        return _MIN_N <= n and _is_smooth_multiple(n)
+    return _is_pow2(n) and n <= _MAX_COMPOSITE
 
 
 def _interpret() -> bool:
@@ -123,16 +141,13 @@ def _tables(n: int, forward: bool):
     n1 = n // LANES
     sgn = -1.0 if forward else 1.0
 
-    # Stage twiddles for the N1 Stockham (radix 4 then 2).
-    radices = []
-    m = n1
-    while m % 4 == 0:
-        radices.append(4)
-        m //= 4
-    if m % 2 == 0:
-        radices.append(2)
-        m //= 2
-    assert m == 1, f"N1={n1} must be a power of two"
+    # Stage twiddles for the N1 Stockham: mixed radices {4,2,3,5}, the same
+    # set (and greedy order) as the reference's decompose()
+    # (/root/reference/simd/chowdsp_fft_impl_common.hpp:51-82).
+    from ..plans import factorize
+
+    radices = list(factorize(n1)) if n1 > 1 else []
+    assert int(np.prod(radices) if radices else 1) == n1
 
     # Stage t multiplies the *post-butterfly, re-flattened* (N1,) rows:
     # row index = p*(r*s) + j*s + q (p in [0,m), j in [0,r), q in [0,s));
@@ -242,6 +257,10 @@ def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool):
         m = n // r
         xr = vre.reshape(r, m * s, tb, lanes)
         pr = [xr[k] for k in range(r)]
+        if vim is None and r not in (2, 4):
+            # Real-input specialization only covers radix 2/4; for a
+            # leading radix-3/5 stage, materialize the zero plane.
+            vim = jnp.zeros_like(vre)
         if vim is None:
             # First stage on a purely-real input (the fused rfft): the
             # butterfly's imaginary outputs are 0 except the +/-i*(b-d)
@@ -264,7 +283,7 @@ def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool):
             if r == 2:
                 zr = [pr[0] + pr[1], pr[0] - pr[1]]
                 zi = [pi[0] + pi[1], pi[0] - pi[1]]
-            else:  # r == 4; t3 = -i*(b-d) fwd, +i*(b-d) bwd
+            elif r == 4:  # t3 = -i*(b-d) fwd, +i*(b-d) bwd
                 t0r, t0i = pr[0] + pr[2], pi[0] + pi[2]
                 t1r, t1i = pr[0] - pr[2], pi[0] - pi[2]
                 t2r, t2i = pr[1] + pr[3], pi[1] + pi[3]
@@ -275,6 +294,49 @@ def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool):
                     t3r, t3i = -dbi, dbr  # +i * (b - d)
                 zr = [t0r + t2r, t1r + t3r, t0r - t2r, t1r - t3r]
                 zi = [t0i + t2i, t1i + t3i, t0i - t2i, t1i - t3i]
+            elif r == 3:  # the passf3_ps analog (sse:182-219)
+                h3 = 0.8660254037844386  # sqrt(3)/2 = |sin(2*pi/3)|
+                ur, ui = pr[1] + pr[2], pi[1] + pi[2]
+                vr_, vi_ = pr[1] - pr[2], pi[1] - pi[2]
+                m1r, m1i = pr[0] - 0.5 * ur, pi[0] - 0.5 * ui
+                # z_{1,2} = m1 -/+ i*h3*v (fwd); conjugate for backward.
+                if sign_fwd:
+                    zr = [pr[0] + ur, m1r + h3 * vi_, m1r - h3 * vi_]
+                    zi = [pi[0] + ui, m1i - h3 * vr_, m1i + h3 * vr_]
+                else:
+                    zr = [pr[0] + ur, m1r - h3 * vi_, m1r + h3 * vi_]
+                    zi = [pi[0] + ui, m1i + h3 * vr_, m1i - h3 * vr_]
+            else:  # r == 5: the passf5_ps analog (sse:298-370)
+                tr11, ti11 = 0.30901699437494745, 0.9510565162951535
+                tr12, ti12 = -0.8090169943749473, 0.5877852522924731
+                u1r, u1i = pr[1] + pr[4], pi[1] + pi[4]
+                u2r, u2i = pr[2] + pr[3], pi[2] + pi[3]
+                v1r, v1i = pr[1] - pr[4], pi[1] - pi[4]
+                v2r, v2i = pr[2] - pr[3], pi[2] - pi[3]
+                m1r = pr[0] + tr11 * u1r + tr12 * u2r
+                m1i = pi[0] + tr11 * u1i + tr12 * u2i
+                m2r = pr[0] + tr12 * u1r + tr11 * u2r
+                m2i = pi[0] + tr12 * u1i + tr11 * u2i
+                s1r = ti11 * v1r + ti12 * v2r
+                s1i = ti11 * v1i + ti12 * v2i
+                s2r = ti12 * v1r - ti11 * v2r
+                s2i = ti12 * v1i - ti11 * v2i
+                sg = 1.0 if sign_fwd else -1.0
+                # z_k = m -/+ i*s (fwd): re -/+ = +sg*s_i, im = -sg*s_r.
+                zr = [
+                    pr[0] + u1r + u2r,
+                    m1r + sg * s1i,
+                    m2r + sg * s2i,
+                    m2r - sg * s2i,
+                    m1r - sg * s1i,
+                ]
+                zi = [
+                    pi[0] + u1i + u2i,
+                    m1i - sg * s1r,
+                    m2i - sg * s2r,
+                    m2i + sg * s2r,
+                    m1i + sg * s1r,
+                ]
         # Interleave the r butterfly outputs back into (N1,) row order
         # (out row = p*(r*s) + j*s + q), then apply the stage twiddle as an
         # elementwise complex multiply broadcast over (TB, 128) tiles.

@@ -30,9 +30,11 @@ def rand_complex(rng, shape):
 def test_supports_plan():
     assert pallas_fft.supports_plan(cf.make_plan(256, cf.FFT_COMPLEX))
     assert pallas_fft.supports_plan(cf.make_plan(4096, cf.FFT_REAL))
-    assert not pallas_fft.supports_plan(cf.make_plan(96, cf.FFT_COMPLEX))  # non-pow2
+    assert pallas_fft.supports_plan(cf.make_plan(3 * 4096, cf.FFT_REAL))  # 96*128
+    assert pallas_fft.supports_plan(cf.make_plan(9216, cf.FFT_COMPLEX))  # 72*128
+    assert not pallas_fft.supports_plan(cf.make_plan(96, cf.FFT_COMPLEX))  # not a multiple of 128
     assert not pallas_fft.supports_plan(cf.make_plan(64, cf.FFT_COMPLEX))  # too small
-    assert not pallas_fft.supports_plan(cf.make_plan(3 * 4096, cf.FFT_REAL))
+    assert not pallas_fft.supports_plan(cf.make_plan(480, cf.FFT_COMPLEX))  # not a multiple of 128
 
 
 @pytest.mark.parametrize("n", PALLAS_C_SIZES)
@@ -309,3 +311,22 @@ def test_dispatch_boundary_sizes(n, batch, rng):
     assert np.abs(im[:, 0] - ref[:, -1].real).max() < tol(n)
     back = np.asarray(cf.irfft_packed(re, im)) / n
     assert np.abs(back - x).max() < tol(n)
+
+
+@pytest.mark.parametrize("n", [384, 768, 1920, 9216])
+def test_mixed_radix_metal_sizes(n, rng):
+    """Non-pow2 {2,3,5}-smooth multiples of 128 run on the metal engine —
+    in-kernel radix-3/5 butterflies (the passf3/passf5 + radf3/radf5
+    parity, /root/reference/simd/chowdsp_fft_impl_sse.cpp:182-219,298-370).
+    9216 is one of the reference's own non-pow2 test sizes (test.cpp:279)."""
+    assert cf.engine_for(n, cf.FFT_COMPLEX) == "pallas"
+    z = rand_complex(rng, (2, n))
+    got = np.asarray(cf.fft(z, engine="pallas"))
+    ref = np.fft.fft(z.astype(np.complex128), axis=-1)
+    assert np.abs(got - ref).max() < tol(n)
+    back = np.asarray(cf.ifft(got.astype(np.complex64), engine="pallas")) / n
+    assert np.abs(back - z).max() < tol(n)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = cf.rfft_packed(x, engine="pallas")
+    xr = np.asarray(cf.irfft_packed(re, im, engine="pallas")) / n
+    assert np.abs(xr - x).max() < tol(n)
