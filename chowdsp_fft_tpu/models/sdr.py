@@ -61,11 +61,13 @@ class SDRChain:
         )
 
     def front_end(self, iq: jax.Array) -> jax.Array:
-        """Decimating anti-alias front end on the wideband stream."""
+        """Decimating anti-alias front end on the wideband stream. The I/Q
+        planes are stacked into one batched decimator call (two single-row
+        convs cost ~2x one 2-row conv)."""
         c = self.config
-        i = polyphase_decimate(jnp.real(iq), self.front_lp, c.decimation)
-        q = polyphase_decimate(jnp.imag(iq), self.front_lp, c.decimation)
-        return jax.lax.complex(i, q)
+        planes = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-2)
+        dec = polyphase_decimate(planes, self.front_lp, c.decimation)
+        return jax.lax.complex(dec[..., 0, :], dec[..., 1, :])
 
     def back_end(self, channels: jax.Array) -> jax.Array:
         """Per-channel FM demod + audio filtering. channels: (..., C, S)."""
