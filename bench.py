@@ -78,7 +78,7 @@ def main() -> None:
         loop = make_loop(iters)
         float(loop(x))  # compile + warm
         best = float("inf")
-        for _ in range(5):
+        for _ in range(8):
             t0 = time.perf_counter()
             float(loop(x))
             best = min(best, time.perf_counter() - t0)
