@@ -61,6 +61,7 @@ from .api import (  # noqa: F401
 # full API via the Stockham engine.
 try:  # pragma: no cover - exercised implicitly
     from .ops import pallas_fft as _pallas_fft  # noqa: F401
+    from .ops.pallas_fft import merge_precision  # noqa: F401
 except Exception:  # noqa: BLE001
     _pallas_fft = None
 

@@ -34,6 +34,7 @@ runtime's missing complex64 transfers.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -42,7 +43,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..plans import FFT_BACKWARD, FFT_COMPLEX, FFT_FORWARD, FFT_REAL, FFTPlan, cached_plan
+from ..plans import (
+    FFT_BACKWARD,
+    FFT_COMPLEX,
+    FFT_FORWARD,
+    FFT_REAL,
+    FFTPlan,
+    InvalidSizeError,
+    cached_plan,
+)
 from .. import api as _api
 
 __all__ = [
@@ -52,11 +61,19 @@ __all__ = [
     "rfft_packed",
     "irfft_packed",
     "supports_plan",
+    "merge_precision",
     "LANES",
 ]
 
 LANES = 128  # TPU vector lane count == the merge radix
 _MIN_N = 2 * LANES  # smallest N with a nontrivial sublane FFT
+# Small-N direct-DFT path: one MXU matmul per tile, no Stockham stages
+# (the reference's SIMD path covers N down to 32 via its N % w^2 rule,
+# /root/reference/simd/chowdsp_fft_impl_common.hpp:165-177; here any valid
+# size below the Stockham kernel's floor runs as a dense (g*N, g*N)
+# block-diagonal DFT matmul with g = 128//N transforms packed per lane row).
+_MIN_SMALL = 8
+_MAX_SMALL = _MIN_N - 1  # everything below the Stockham kernel's floor
 # Single-kernel bound: N=2^17 compiles and runs on v5e (tb=8); 2^18 fails
 # Mosaic compilation. Measured 1.6-2.2x faster than the HBM-staged
 # composite at 2^16..2^17, so the kernel runs as large as it can.
@@ -96,19 +113,28 @@ def _is_smooth_multiple(n: int) -> bool:
     return True
 
 
+def _has_composite_split(n: int) -> bool:
+    if n > _MAX_COMPOSITE:
+        return False
+    try:
+        _split_large(n)
+    except InvalidSizeError:
+        return False
+    return True
+
+
 def supports_plan(plan: FFTPlan) -> bool:
     if jax.dtypes.canonicalize_dtype(jnp.float32) != jnp.float32:
         return False
-    if plan.kind == FFT_REAL:
-        n = plan.n
-        if n <= _MAX_N:  # == the fused real kernel's bound
-            return _MIN_N <= n and _is_smooth_multiple(n)
-        # Above the fused kernel: the two-level composite needs pow2.
-        return _is_pow2(n) and n <= _MAX_COMPOSITE
-    n = plan.cfft_n
-    if n <= _MAX_N:
-        return _MIN_N <= n and _is_smooth_multiple(n)
-    return _is_pow2(n) and n <= _MAX_COMPOSITE
+    n = plan.n if plan.kind == FFT_REAL else plan.cfft_n
+    if n <= _MAX_SMALL:  # direct-DFT matmul path (plan validity => smooth)
+        return n >= _MIN_SMALL
+    if n <= _MAX_N:  # single Stockham kernel (fused real kernel: same bound)
+        return _is_smooth_multiple(n)
+    # Above the single kernel: the two-level HBM-staged composite — any
+    # {2,3,5}-smooth N that splits into two kernel-sized factors (parity
+    # with the reference's full size domain, common.hpp:216-225).
+    return _has_composite_split(n)
 
 
 def _interpret() -> bool:
@@ -521,18 +547,63 @@ def _pallas_cfft_pair(
 # ---------------------------------------------------------------------------
 
 
+# MXU merge precision knob. "highest" = fp32 via the 6-pass HIGHEST
+# emulation — the only mode meeting the reference's 2e-7*N error bound
+# (/root/reference/test/test.cpp:9-14). "bf16x3" = manual two-way bf16
+# split, 3 single-pass matmuls per real product (~2x merge speedup,
+# absolute error ~1e-3 at N=4096 unit-variance input — OVER the reference
+# bound; opt-in for error-tolerant pipelines). Read at TRACE time: enter
+# the context before the first jit trace of the transform.
+_MERGE_PRECISION = "highest"
+
+
+@contextlib.contextmanager
+def merge_precision(mode: str):
+    """Context manager selecting the MXU merge mode ("highest" | "bf16x3")
+    for kernels traced inside the context. The TPU analog of the
+    reference's use_avx_if_available runtime flag
+    (/root/reference/chowdsp_fft.h:92-96): an explicit speed/accuracy
+    trade the caller opts into, with the compliant mode as default."""
+    global _MERGE_PRECISION
+    if mode not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown merge precision {mode!r}")
+    prev = _MERGE_PRECISION
+    _MERGE_PRECISION = mode
+    try:
+        yield
+    finally:
+        _MERGE_PRECISION = prev
+
+
+def _dot_bf16x3(a, m):
+    """f32-accurate-ish matmul from 3 single-pass bf16 MXU matmuls: split
+    both operands hi/lo (8+8 mantissa bits) and drop only the lo*lo term.
+    Error floor ~2^-16 relative (the two-way-split floor — see
+    benchmarks/NOTES.md; DotAlgorithmPreset is not lowerable in Mosaic)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    m_hi = m.astype(jnp.bfloat16)
+    m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dot(a_hi, m_hi) + (dot(a_lo, m_hi) + dot(a_hi, m_lo))
+
+
+def _merge_dot(a, m):
+    if _MERGE_PRECISION == "bf16x3":
+        return _dot_bf16x3(a, m)
+    return jnp.dot(
+        a, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _merge_karatsuba(ar, ai, mr, mi, rows: int, k: int = LANES):
-    """Complex matmul along lanes via 3 real MXU matmuls (fp32 HIGHEST)."""
+    """Complex matmul along lanes via 3 real MXU matmuls (mode: see
+    merge_precision)."""
     a2r = ar.reshape(rows, k)
     a2i = ai.reshape(rows, k)
-    dot = functools.partial(
-        jnp.dot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    p1 = dot(a2r, mr)
-    p2 = dot(a2i, mi)
-    p3 = dot(a2r + a2i, mr + mi)
+    p1 = _merge_dot(a2r, mr)
+    p2 = _merge_dot(a2i, mi)
+    p3 = _merge_dot(a2r + a2i, mr + mi)
     return p1 - p2, p3 - p1 - p2
 
 
@@ -587,8 +658,13 @@ def _rfft_kernel(
     # trick as pffft, /root/reference/simd/chowdsp_fft_impl_sse.cpp:1640-1644).
     col = jax.lax.broadcasted_iota(jnp.int32, yi2.shape, 1)
     yi2 = jnp.where(col == 0, nyq[:, None], yi2)
-    yre_ref[...] = yr2
-    yim_ref[...] = yi2
+    if yim_ref is None:  # joint output: [re | im] in one (TB, N) buffer
+        m = yr2.shape[-1]
+        yre_ref[:, :m] = yr2
+        yre_ref[:, m:] = yi2
+    else:
+        yre_ref[...] = yr2
+        yim_ref[...] = yi2
 
 
 def _irfft_kernel(
@@ -731,8 +807,17 @@ def _pallas_irfft_packed_bwd(n, ordered, _res, ct):
 _pallas_irfft_packed.defvjp(_pallas_irfft_packed_fwd, _pallas_irfft_packed_bwd)
 
 
-def _pallas_rfft_packed_impl(x: jax.Array, n: int, ordered: bool) -> tuple[jax.Array, jax.Array]:
-    """(B, N) f32 -> packed half-spectrum planes ((B, N/2), (B, N/2)) f32."""
+def _pallas_rfft_packed_impl(
+    x: jax.Array, n: int, ordered: bool, joint: bool = False
+):
+    """(B, N) f32 -> packed half-spectrum planes ((B, N/2), (B, N/2)) f32.
+
+    ``joint=True`` returns ONE (B, N) buffer holding [re | im] instead —
+    written directly by the kernel, so chains that keep the planes together
+    (bench loops, spectra stored as one tensor) pay zero relayout."""
+    if n <= _MAX_SMALL:
+        assert not joint
+        return _small_rfft_packed(jnp.asarray(x, jnp.float32), n)
     n1 = n // LANES
     radices, (stw_re, stw_im), (dft_re, dft_im) = _tables_fwd_folded(n)
     dfth_re = dft_re[:, : LANES // 2].copy()
@@ -748,13 +833,27 @@ def _pallas_rfft_packed_impl(x: jax.Array, n: int, ordered: bool) -> tuple[jax.A
     num_stages = stw_re.shape[0]
 
     kern = functools.partial(_rfft_kernel, n1=n1, radices=radices, ordered=ordered)
+    if joint:
+        kern = functools.partial(kern, yim_ref=None)
 
     def table(shape):
         zeros = (0,) * len(shape)
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
     m = n // 2
-    yre, yim = pl.pallas_call(
+    if joint:
+        out_specs = [pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((bp, n), jnp.float32)]
+    else:
+        out_specs = [
+            pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bp, m), jnp.float32),
+            jax.ShapeDtypeStruct((bp, m), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         kern,
         grid=(bp // tb,),
         in_specs=[
@@ -765,14 +864,8 @@ def _pallas_rfft_packed_impl(x: jax.Array, n: int, ordered: bool) -> tuple[jax.A
             table((LANES, LANES // 2)),
             table((1, LANES)),
         ],
-        out_specs=[
-            pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, m), jnp.float32),
-            jax.ShapeDtypeStruct((bp, m), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * bp * n1 * LANES * LANES
             + int(2.5 * bp * n * max(1, np.log2(max(2, n1)))) * 2,
@@ -786,13 +879,28 @@ def _pallas_rfft_packed_impl(x: jax.Array, n: int, ordered: bool) -> tuple[jax.A
         interpret=_interpret(),
     )(jnp.asarray(x, jnp.float32), stw_re, stw_im, dfth_re, dfth_im, alt)
 
+    if joint:
+        (y,) = outs
+        return y[:b] if pad else y
+    yre, yim = outs
     if pad:
         yre, yim = yre[:b], yim[:b]
     return yre, yim
 
 
+def _rfft_packed_joint(x: jax.Array, n: int, ordered: bool = True) -> jax.Array:
+    """Joint-buffer fused real forward: (B, N) -> (B, N) [re | im] planes.
+    Internal (no autodiff rule); the zero-relayout form for self-chaining
+    benches and single-tensor spectrum storage."""
+    return _pallas_rfft_packed_impl(x, n, ordered, joint=True)
+
+
 def _pallas_irfft_packed_impl(yre: jax.Array, yim: jax.Array, n: int, ordered: bool) -> jax.Array:
     """Packed half-spectrum planes ((B, N/2) x2) -> (B, N) f32, unscaled."""
+    if n <= _MAX_SMALL:
+        return _small_irfft_packed(
+            jnp.asarray(yre, jnp.float32), jnp.asarray(yim, jnp.float32), n
+        )
     n1 = n // LANES
     radices, (stw_re, stw_im), (mtw_re, mtw_im), ms, d, c0 = _rifft_tables(n)
 
@@ -868,6 +976,178 @@ def _pallas_irfft_packed_impl(yre: jax.Array, yim: jax.Array, n: int, ordered: b
 
 
 # ---------------------------------------------------------------------------
+# Small-N direct-DFT path (N < 256): one MXU matmul per tile, no Stockham
+# stages at all. The reference's SIMD backends cover N down to 32 via the
+# N % w^2 size rule (/root/reference/simd/chowdsp_fft_impl_common.hpp:165-177,
+# tested from 2^5 at /root/reference/test/test.cpp:270-277); the TPU-native
+# equivalent of "the whole transform fits the vector width" is "the whole
+# DFT matrix fits the systolic array": g = 128//N transforms are packed per
+# 128-lane row (a free reshape) and multiplied by a block-diagonal
+# (g*N, g*N) DFT matrix, so the MXU runs at full K=128 occupancy even for
+# N=32. Real transforms are 2 real matmuls each (the input/output is real,
+# so no Karatsuba); the packed DC/Nyquist layout is folded into the
+# matrices' column 0. Bins come out in natural order (unordered == ordered,
+# a legal layout choice — same as the Stockham engine's).
+# ---------------------------------------------------------------------------
+
+
+def _small_g(n: int) -> int:
+    return max(1, LANES // n)
+
+
+@functools.lru_cache(maxsize=64)
+def _small_tables_c(n: int, forward: bool):
+    """Block-diagonal complex DFT matrix (g*N, g*N) as f32 re/im planes."""
+    g = _small_g(n)
+    sgn = -1.0 if forward else 1.0
+    k = np.arange(n, dtype=np.float64)
+    ang = sgn * 2.0 * np.pi * np.outer(k, k) / float(n)
+    eye = np.eye(g, dtype=np.float64)
+    return (
+        np.kron(eye, np.cos(ang)).astype(np.float32),
+        np.kron(eye, np.sin(ang)).astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _small_tables_r(n: int):
+    """Real-forward matrices (g*N, g*N/2): x @ Cr = re plane, x @ Ci = im
+    plane, with DC in re[:, 0] and Nyquist (alternating-sign row sum) folded
+    into Ci[:, 0] — the packed layout costs nothing here."""
+    g = _small_g(n)
+    m = n // 2
+    nn = np.arange(n, dtype=np.float64)
+    kk = np.arange(m, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(nn, kk) / float(n)
+    cr = np.cos(ang)
+    ci = np.sin(ang)
+    ci[:, 0] = np.where(nn.astype(np.int64) % 2 == 0, 1.0, -1.0)  # Nyquist col
+    eye = np.eye(g, dtype=np.float64)
+    return np.kron(eye, cr).astype(np.float32), np.kron(eye, ci).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _small_tables_ri(n: int):
+    """Real-inverse matrices (g*N/2, g*N), unscaled: x = re @ Dr + im @ Di
+    via x_n = X0 + (-1)^n X_{N/2} + sum_{k=1}^{N/2-1} 2(re_k cos - im_k sin)."""
+    g = _small_g(n)
+    m = n // 2
+    nn = np.arange(n, dtype=np.float64)
+    kk = np.arange(m, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(kk, nn) / float(n)
+    dr = 2.0 * np.cos(ang)
+    dr[0, :] = 1.0
+    di = -2.0 * np.sin(ang)
+    di[0, :] = np.where(nn.astype(np.int64) % 2 == 0, 1.0, -1.0)
+    eye = np.eye(g, dtype=np.float64)
+    return np.kron(eye, dr).astype(np.float32), np.kron(eye, di).astype(np.float32)
+
+
+_SMALL_TB = 256  # batch tile (rows of g packed transforms)
+
+
+def _small_pack(x: jax.Array, g: int) -> tuple[jax.Array, int]:
+    """(B, N) -> (ceil(B/g), g*N) lane packing (a free row-major reshape)."""
+    b, n = x.shape
+    pad = (-b) % g
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape(-1, g * n), b
+
+
+def _small_call(kern, inputs, tables, n_out: int, num_out: int):
+    """Shared pallas_call driver: grid over row tiles, tables replicated."""
+    rows = inputs[0].shape[0]
+    tb = min(_SMALL_TB, max(8, (rows // 8) * 8 or 8))
+    pad = (-rows) % tb
+    if pad:
+        inputs = [jnp.pad(v, ((0, pad), (0, 0))) for v in inputs]
+    rp = rows + pad
+    n_in = inputs[0].shape[1]
+
+    def table(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(rp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in inputs
+        ]
+        + [table(t.shape) for t in tables],
+        out_specs=[
+            pl.BlockSpec((tb, n_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(num_out)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((rp, n_out), jnp.float32) for _ in range(num_out)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rp * n_in * n_out,
+            bytes_accessed=4 * rp * (len(inputs) * n_in + num_out * n_out),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(*inputs, *[jnp.asarray(t) for t in tables])
+    if pad:
+        outs = [o[:rows] for o in outs]
+    return outs
+
+
+def _small_cfft_kernel(xre_ref, xim_ref, wr_ref, wi_ref, yre_ref, yim_ref):
+    rows, k = xre_ref.shape
+    yr, yi = _merge_karatsuba(xre_ref[...], xim_ref[...], wr_ref[...], wi_ref[...], rows, k=k)
+    yre_ref[...] = yr
+    yim_ref[...] = yi
+
+
+def _small_rfft_kernel(x_ref, cr_ref, ci_ref, yre_ref, yim_ref):
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    yre_ref[...] = dot(x_ref[...], cr_ref[...])
+    yim_ref[...] = dot(x_ref[...], ci_ref[...])
+
+
+def _small_irfft_kernel(re_ref, im_ref, dr_ref, di_ref, x_ref):
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    x_ref[...] = dot(re_ref[...], dr_ref[...]) + dot(im_ref[...], di_ref[...])
+
+
+def _small_cfft_pair(xre, xim, n, forward):
+    g = _small_g(n)
+    wr, wi = _small_tables_c(n, forward)
+    pr, b = _small_pack(xre, g)
+    pi, _ = _small_pack(xim, g)
+    yr, yi = _small_call(_small_cfft_kernel, [pr, pi], [wr, wi], g * n, 2)
+    return yr.reshape(-1, n)[:b], yi.reshape(-1, n)[:b]
+
+
+def _small_rfft_packed(x, n):
+    g = _small_g(n)
+    cr, ci = _small_tables_r(n)
+    p, b = _small_pack(x, g)
+    yr, yi = _small_call(_small_rfft_kernel, [p], [cr, ci], g * (n // 2), 2)
+    m = n // 2
+    return yr.reshape(-1, m)[:b], yi.reshape(-1, m)[:b]
+
+
+def _small_irfft_packed(yre, yim, n):
+    g = _small_g(n)
+    dr, di = _small_tables_ri(n)
+    pr, b = _small_pack(yre, g)
+    pi, _ = _small_pack(yim, g)
+    (x,) = _small_call(_small_irfft_kernel, [pr, pi], [dr, di], g * n, 1)
+    return x.reshape(-1, n)[:b]
+
+
+# ---------------------------------------------------------------------------
 # Engine entry points (same signatures as the Stockham engine)
 # ---------------------------------------------------------------------------
 
@@ -904,13 +1184,36 @@ def _digit_transpose(y: jax.Array, n: int, inverse: bool) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _kernel_size_ok(x: int) -> bool:
+    """x runs in ONE Stockham kernel: {2,3,5}-smooth multiple of 128 within
+    the VMEM-bounded size window."""
+    return _MIN_N <= x <= _MAX_N and _is_smooth_multiple(x)
+
+
+@functools.lru_cache(maxsize=64)
 def _split_large(n: int) -> tuple[int, int]:
-    """n = A * C with both factors kernel-sized powers of two."""
-    lg = n.bit_length() - 1
-    a = 1 << ((lg + 1) // 2)
-    c = n // a
-    assert _MIN_N <= c <= a <= _MAX_N, (n, a, c)
-    return a, c
+    """n = A * C with both factors single-kernel sizes, A >= C, as balanced
+    as possible. Any {2,3,5}-smooth n splits this way up to _MAX_COMPOSITE
+    (the reference's size domain is any {2,3,4,5} product,
+    /root/reference/simd/chowdsp_fft_impl_common.hpp:216-225)."""
+    best = None
+    for a in range(_MIN_N, _MAX_N + 1, LANES):
+        if n % a:
+            continue
+        c = n // a
+        if c > a:
+            continue
+        if _kernel_size_ok(a) and _kernel_size_ok(c):
+            # prefer the most balanced split (smallest a/c ratio)
+            if best is None or a / c < best[0] / best[1]:
+                best = (a, c)
+    if best is None:
+        raise InvalidSizeError(
+            f"N={n} has no two-level composite split (need A*C with both "
+            f"factors {{2,3,5}}-smooth multiples of {LANES} in "
+            f"[{_MIN_N}, {_MAX_N}])"
+        )
+    return best
 
 
 def _kernel_perm(n: int) -> np.ndarray:
@@ -1017,6 +1320,9 @@ _cfft_pair.defvjp(_cfft_pair_fwd, _cfft_pair_bwd)
 
 def _cfft_pair_impl(xre, xim, n, direction, ordered):
     forward = direction == FFT_FORWARD
+    if n <= _MAX_SMALL:
+        # Direct-DFT matmul; natural bin order either way (ordered flag moot).
+        return _small_cfft_pair(xre, xim, n, forward)
     if n > _MAX_N:
         return _cfft_pair_large(xre, xim, n, forward, ordered)
     if forward:
@@ -1165,7 +1471,9 @@ def _rfft_direct_composite(x):
     # Level 1: real FFTs of the stride-C subsequences = rows after one
     # transpose. Packed planes (B, C, A/2), Nyquist of each row in im[0].
     xt = jnp.swapaxes(xf.reshape(b, a, c), 1, 2).reshape(b * c, a)
-    pre, pim = _pallas_rfft_packed_impl(xt, a, True)
+    # custom_vjp wrapper (NOT _impl): the pieces' VJPs compose to the
+    # composite gradient; the raw pallas_call has no autodiff rule.
+    pre, pim = _pallas_rfft_packed(xt, a, True)
     pre = jnp.swapaxes(pre.reshape(b, c, half_a), 1, 2)  # (B, A/2, C)
     pim = jnp.swapaxes(pim.reshape(b, c, half_a), 1, 2)
 
@@ -1288,7 +1596,7 @@ def _irfft_direct_composite(yre, yim):
     nyr = ur[:, half_a:, :] * nytr + ui[:, half_a:, :] * nyti  # imag ~0
     pre = jnp.concatenate([dc, mr], axis=1)  # (B, A/2, C) re plane
     pim = jnp.concatenate([nyr, mi], axis=1)  # im plane, NY packed in row 0
-    xt = _pallas_irfft_packed_impl(
+    xt = _pallas_irfft_packed(  # custom_vjp wrapper: keeps grad working
         jnp.swapaxes(pre, 1, 2).reshape(b * c, half_a),
         jnp.swapaxes(pim, 1, 2).reshape(b * c, half_a),
         a,
@@ -1359,14 +1667,10 @@ def _irfft_via_half(spec, plan=None):
     return out.reshape(*batch_shape, n).astype(jnp.float32)
 
 
-def rfft(x, plan=None):
-    """Real FFT -> canonical (..., N//2+1) complex64 spectrum.
-
-    Compatibility wrapper over the packed fast path: the complex64 assembly
-    (re/im interleave + Nyquist unpack) costs one extra XLA pass — callers
-    on the hot path should use :func:`rfft_packed`."""
-    n = x.shape[-1]
-    yre, yim = rfft_packed(x, plan)
+def _assemble_canonical(yre, yim):
+    """Packed planes -> canonical-type complex64 spectrum with the Nyquist
+    bin appended explicitly (works for any bin order: bin 0 is at index 0
+    in every layout here, so the DC/Nyquist unpack is order-independent)."""
     nyq = yim[..., :1]
     col = jax.lax.broadcasted_iota(jnp.int32, yim.shape, yim.ndim - 1)
     yim = jnp.where(col == 0, 0.0, yim)
@@ -1375,16 +1679,51 @@ def rfft(x, plan=None):
     return jnp.concatenate([main, last], axis=-1)
 
 
-def irfft(spec, plan=None):
-    """Unscaled inverse real FFT from a canonical complex spectrum."""
+def _disassemble_canonical(spec):
     spec = spec.astype(jnp.complex64)
-    n = 2 * (spec.shape[-1] - 1)
     yre = spec[..., :-1].real
     yim = spec[..., :-1].imag
     nyq = spec[..., -1:].real
     col = jax.lax.broadcasted_iota(jnp.int32, yim.shape, yim.ndim - 1)
     yim = jnp.where(col == 0, nyq, yim)
+    return yre, yim
+
+
+def rfft(x, plan=None):
+    """Real FFT -> canonical (..., N//2+1) complex64 spectrum.
+
+    Compatibility wrapper over the packed fast path: the complex64 assembly
+    (re/im interleave + Nyquist unpack) costs one extra XLA pass — callers
+    on the hot path should use :func:`rfft_packed`."""
+    yre, yim = rfft_packed(x, plan)
+    return _assemble_canonical(yre, yim)
+
+
+def irfft(spec, plan=None):
+    """Unscaled inverse real FFT from a canonical complex spectrum."""
+    yre, yim = _disassemble_canonical(spec)
     return irfft_packed(yre, yim)
+
+
+def rfft_canonical_unordered(x, plan=None):
+    """Canonical-type complex64 spectrum in the ENGINE's bin order: the
+    first N/2 entries are the packed bins in the kernel's digit-transposed
+    layout (bin k1 + N1*k2 at position k1*64 + k2), the appended last entry
+    is the Nyquist bin. Pairs with :func:`irfft_canonical_unordered` and
+    plain elementwise convolve_accumulate — the fft_transform_unordered
+    capability (/root/reference/chowdsp_fft.h:140-145). Skips the ordered
+    flatten inside the kernel (for sizes the fused kernel serves); the
+    small-N and composite paths' unordered layout is the ordered one, a
+    per-plan layout choice exactly as in the reference (SSE vs AVX internal
+    layouts differ too)."""
+    yre, yim = rfft_packed(x, plan, ordered=False)
+    return _assemble_canonical(yre, yim)
+
+
+def irfft_canonical_unordered(spec, plan=None):
+    """Unscaled inverse consuming :func:`rfft_canonical_unordered` order."""
+    yre, yim = _disassemble_canonical(spec)
+    return irfft_packed(yre, yim, plan, ordered=False)
 
 
 def _rfft_packed_unordered(x, plan=None):
@@ -1395,11 +1734,6 @@ def _irfft_packed_unordered(yre, yim, plan=None):
     return irfft_packed(yre, yim, plan, ordered=False)
 
 
-# Real-transform unordered canonical variants: the canonical-spectrum
-# "unordered" layout stays == ordered (a legal layout choice — the contract
-# only requires unordered-forward -> convolve -> unordered-backward to
-# compose); the *packed-plane* unordered path carries the actual
-# digit-transposed fast layout, as does the complex unordered path.
 _api.register_engine(
     "pallas",
     {
@@ -1407,8 +1741,8 @@ _api.register_engine(
         "rfft": rfft,
         "irfft": irfft,
         "cfft_unordered": cfft_unordered,
-        "rfft_unordered": rfft,
-        "irfft_unordered": irfft,
+        "rfft_unordered": rfft_canonical_unordered,
+        "irfft_unordered": irfft_canonical_unordered,
         "rfft_packed": rfft_packed,
         "irfft_packed": irfft_packed,
         "rfft_packed_unordered": _rfft_packed_unordered,

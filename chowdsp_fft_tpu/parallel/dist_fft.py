@@ -45,7 +45,11 @@ __all__ = [
     "sharded_fft_planes",
     "sharded_ifft_planes",
     "sharded_fft_convolve",
+    "sharded_rfft_planes",
+    "sharded_irfft_planes",
+    "sharded_rfft_convolve",
     "spectrum_order",
+    "rspectrum_order",
 ]
 
 _MIN_FACTOR = 256  # engine-supported row length for the local FFTs
@@ -53,6 +57,11 @@ _MIN_FACTOR = 256  # engine-supported row length for the local FFTs
 
 def _dist_split(n: int, n_dev: int) -> tuple[int, int]:
     """n = A * C, both pow2 factors >= _MIN_FACTOR and divisible by n_dev."""
+    if n <= 0 or (n & (n - 1)):
+        raise ValueError(
+            f"cannot shard N={n} over {n_dev} devices "
+            f"(need pow2 A*C with A,C >= {_MIN_FACTOR}, both divisible by {n_dev})"
+        )
     lg = n.bit_length() - 1
     a = 1 << ((lg + 1) // 2)
     c = n // a
@@ -109,18 +118,37 @@ def spectrum_order(n: int, n_dev: int) -> np.ndarray:
 
 
 def _a2a_transpose(v, axis_name, n_dev):
-    """Distributed matrix transpose inside shard_map.
+    """Distributed matrix transpose inside shard_map (batched).
 
-    Local view (rows_loc, cols) of a row-sharded global (R, cols) matrix
-    -> local (cols/D, R) rows of the transposed matrix: split the columns
-    into D contiguous groups, all_to_all swaps the group index with the
-    device axis (each element moves once over ICI), then one local 2D
-    transpose."""
-    r_loc, cols_total = v.shape
-    g = v.reshape(r_loc, n_dev, cols_total // n_dev)
-    g = jax.lax.all_to_all(g, axis_name, split_axis=1, concat_axis=0, tiled=True)
-    # g: (D*r_loc, cols/D) = all global rows x this device's column group.
-    return g.reshape(n_dev * r_loc, cols_total // n_dev).swapaxes(0, 1)
+    Local view (..., rows_loc, cols) of a row-sharded global (R, cols)
+    matrix -> local (..., cols/D, R) rows of the transposed matrix: split
+    the columns into D contiguous groups, all_to_all swaps the group index
+    with the device axis (each element moves once over ICI), then one
+    local 2D transpose. Leading batch axes ride along unsharded."""
+    *lead, r_loc, cols_total = v.shape
+    nb = len(lead)
+    g = v.reshape(*lead, r_loc, n_dev, cols_total // n_dev)
+    g = jax.lax.all_to_all(
+        g, axis_name, split_axis=nb + 1, concat_axis=nb, tiled=True
+    )
+    # g: (..., D*rows_loc, cols/D) = all global rows x this device's column group
+    g = g.reshape(*lead, n_dev * r_loc, cols_total // n_dev)
+    return jnp.swapaxes(g, -1, -2)
+
+
+def _lead_spec(ndim: int, axis_name: str) -> P:
+    """PartitionSpec sharding only the last axis; leading batch axes ride
+    along replicated (shard batch separately with shard_channels if
+    desired)."""
+    return P(*([None] * (ndim - 1) + [axis_name]))
+
+
+def _local_rows(fn, v_pair, length, direction):
+    """Apply a 2-plane local FFT over the last axis of (..., rows, length)."""
+    vr, vi = v_pair
+    shp = vr.shape
+    yr, yi = fn(vr.reshape(-1, length), vi.reshape(-1, length), length, direction, False)
+    return yr.reshape(shp), yi.reshape(shp)
 
 
 def sharded_fft_planes(
@@ -129,10 +157,11 @@ def sharded_fft_planes(
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
 ) -> tuple[jax.Array, jax.Array]:
-    """One length-N forward complex FFT distributed over the mesh.
+    """Forward complex FFTs of length N distributed over the mesh, batched.
 
-    ``re``/``im``: (N,) float32 planes, time-contiguous over ``axis_name``.
-    Returns (N,) spectrum planes in the distributed bin order
+    ``re``/``im``: (..., N) float32 planes, the last axis time-contiguous
+    and sharded over ``axis_name`` (leading batch axes replicated).
+    Returns (..., N) spectrum planes in the distributed bin order
     (:func:`spectrum_order`), sharded over the same axis. Unscaled.
     """
     n = re.shape[-1]
@@ -140,23 +169,26 @@ def sharded_fft_planes(
     a, c = _dist_split(n, n_dev)
     twr_h, twi_h = _dist_twiddle(n, a, True)
     rows_loc = a // n_dev
+    lead = re.shape[:-1]
+    spec = _lead_spec(re.ndim, axis_name)
+    tw_spec = P(axis_name, None)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name, None), P(axis_name, None)),
-        out_specs=(P(axis_name), P(axis_name)),
+        in_specs=(spec, spec, tw_spec, tw_spec),
+        out_specs=(spec, spec),
         check_vma=False,
     )
     def run(re_loc, im_loc, twr, twi):
-        xr = re_loc.reshape(rows_loc, c)
-        xi = im_loc.reshape(rows_loc, c)
+        xr = re_loc.reshape(*lead, rows_loc, c)
+        xi = im_loc.reshape(*lead, rows_loc, c)
         # step 1: (A, C) -> each device holds C/D columns as rows (C/D, A)
         gr = _a2a_transpose(xr, axis_name, n_dev)
         gi = _a2a_transpose(xi, axis_name, n_dev)
         # step 2: length-A FFTs along the local j axis, engine-unordered
         # (the bin permutation is folded into the twiddle + spectrum_order)
-        fr, fi = _pf._cfft_pair(gr, gi, a, FFT_FORWARD, False)
+        fr, fi = _local_rows(_pf._cfft_pair, (gr, gi), a, FFT_FORWARD)
         # step 3: twiddle W_N^{-kq}; twr arrives as this device's (C/D, A) slab
         fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
         # step 4: transpose back -> (A/D, C) rows q_loc
@@ -164,8 +196,8 @@ def sharded_fft_planes(
         hi = _a2a_transpose(fi, axis_name, n_dev)
         # step 5: length-C FFTs along the local k axis, engine-unordered:
         # position [q_row, t_col] holds X[perm_A(q_row) + A*perm_C(t_col)]
-        yr, yi = _pf._cfft_pair(hr, hi, c, FFT_FORWARD, False)
-        return yr.reshape(-1), yi.reshape(-1)
+        yr, yi = _local_rows(_pf._cfft_pair, (hr, hi), c, FFT_FORWARD)
+        return yr.reshape(*lead, -1), yi.reshape(*lead, -1)
 
     return run(re, im, jnp.asarray(twr_h), jnp.asarray(twi_h))
 
@@ -177,35 +209,245 @@ def sharded_ifft_planes(
     axis_name: str = TIME_AXIS,
 ) -> tuple[jax.Array, jax.Array]:
     """Unscaled inverse consuming the distributed bin order of
-    :func:`sharded_fft_planes`; returns time-contiguous (N,) planes
+    :func:`sharded_fft_planes`; returns time-contiguous (..., N) planes
     (ifft(fft(x)) == N * x)."""
     n = re.shape[-1]
     n_dev = mesh.shape[axis_name]
     a, c = _dist_split(n, n_dev)
     twr_h, twi_h = _dist_twiddle(n, a, False)
+    lead = re.shape[:-1]
+    spec = _lead_spec(re.ndim, axis_name)
+    tw_spec = P(axis_name, None)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name, None), P(axis_name, None)),
-        out_specs=(P(axis_name), P(axis_name)),
+        in_specs=(spec, spec, tw_spec, tw_spec),
+        out_specs=(spec, spec),
         check_vma=False,
     )
     def run(re_loc, im_loc, twr, twi):
-        yr = re_loc.reshape(a // n_dev, c)
-        yi = im_loc.reshape(a // n_dev, c)
+        yr = re_loc.reshape(*lead, a // n_dev, c)
+        yi = im_loc.reshape(*lead, a // n_dev, c)
         # mirror of the forward: the reverse pipelines natively consume
         # the engine-unordered layouts the forward emitted
-        hr, hi = _pf._cfft_pair(yr, yi, c, FFT_BACKWARD, False)
+        hr, hi = _local_rows(_pf._cfft_pair, (yr, yi), c, FFT_BACKWARD)
         fr = _a2a_transpose(hr, axis_name, n_dev)
         fi = _a2a_transpose(hi, axis_name, n_dev)
         fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
-        gr, gi = _pf._cfft_pair(fr, fi, a, FFT_BACKWARD, False)
+        gr, gi = _local_rows(_pf._cfft_pair, (fr, fi), a, FFT_BACKWARD)
         xr = _a2a_transpose(gr, axis_name, n_dev)
         xi = _a2a_transpose(gi, axis_name, n_dev)
-        return xr.reshape(-1), xi.reshape(-1)
+        return xr.reshape(*lead, -1), xi.reshape(*lead, -1)
 
     return run(re, im, jnp.asarray(twr_h), jnp.asarray(twi_h))
+
+
+# ---------------------------------------------------------------------------
+# Distributed REAL transform (round 2): the reference's convolution surface
+# is real-first (/root/reference/chowdsp_fft.h:147-154); this is its
+# multi-chip rendition. Same two-level factorization as the complex path,
+# but level 1 runs the LOCAL fused packed rfft (half the compute and local
+# traffic of a complex level 1), and only the A/2+1 Hermitian-independent
+# spectral rows travel through the second all_to_all.
+#
+# Distributed packed real spectrum (engine-private, like every "unordered"
+# layout here): planes (..., rows_p * C) sharded over the axis, viewed as
+# (rows_p, C) with rows_p = A/2+1 zero-padded up to a device-divisible
+# count. Row r <= A/2 at column t holds X[r + A*perm_C(t)] of the FULL
+# length-N spectrum (rows 0 and A/2 therefore carry their entire
+# Hermitian-redundant line; padding rows are zero). DC = (0,0); the global
+# Nyquist X[N/2] sits in row A/2 at the column where perm_C(t) = C/2. The
+# layout multiplies elementwise with NO DC/Nyquist patch-ups — conjugate
+# redundancy is preserved by real-signal products — which is what
+# sharded_rfft_convolve relies on.
+# ---------------------------------------------------------------------------
+
+
+def _rdist_rows(a: int, n_dev: int) -> int:
+    """A/2+1 spectral rows padded up to a multiple of the device count."""
+    r = a // 2 + 1
+    return -(-r // n_dev) * n_dev
+
+
+@functools.lru_cache(maxsize=16)
+def _rdist_tables(n: int, a: int):
+    """(C, A/2-1) level-2 twiddles W_N^{-k1 c} for k1 in [1, A/2) and the
+    (C, 1) Nyquist half-bin modulation W_2C^{-c} (float64 -> f32)."""
+    c = n // a
+    cc = np.arange(c, dtype=np.float64)[:, None]
+    k1 = np.arange(1, a // 2, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * (cc * k1) / float(n)
+    ang_ny = -np.pi * cc / float(c)
+    return (
+        np.cos(ang).astype(np.float32),
+        np.sin(ang).astype(np.float32),
+        np.cos(ang_ny).astype(np.float32),
+        np.sin(ang_ny).astype(np.float32),
+    )
+
+
+def rspectrum_order(n: int, n_dev: int) -> np.ndarray:
+    """perm[p] = index into the FULL length-N spectrum of the bin stored at
+    flat position p of the distributed packed real spectrum (-1 for the
+    zero padding rows). Rows 0 and A/2 hold their whole Hermitian line, so
+    values > N/2 appear there (stored values equal conj(X[N - perm[p]]) ==
+    X[perm[p]] for real input)."""
+    a, c = _dist_split(n, n_dev)
+    rows_p = _rdist_rows(a, n_dev)
+    pc = _engine_perm(c)
+    out = np.full(rows_p * c, -1, dtype=np.int64)
+    for r in range(a // 2 + 1):
+        out[r * c : (r + 1) * c] = r + a * pc
+    return out
+
+
+def sharded_rfft_planes(
+    x: jax.Array,
+    mesh: Mesh,
+    axis_name: str = TIME_AXIS,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed real forward FFT, batched: (..., N) real float32 with
+    the last axis time-sharded -> distributed packed real spectrum planes
+    (..., rows_p * C), sharded over the same axis. Unscaled."""
+    n = x.shape[-1]
+    n_dev = mesh.shape[axis_name]
+    a, c = _dist_split(n, n_dev)
+    half_a = a // 2
+    rows_p = _rdist_rows(a, n_dev)
+    twr_h, twi_h, nytr_h, nyti_h = _rdist_tables(n, a)
+    rows_loc = a // n_dev
+    lead = x.shape[:-1]
+    spec = _lead_spec(x.ndim, axis_name)
+    tw_spec = P(axis_name, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, tw_spec, tw_spec, tw_spec, tw_spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def run(x_loc, twr, twi, nytr, nyti):
+        xr = x_loc.reshape(*lead, rows_loc, c)
+        # step 1: transpose -> each device holds C/D stride-C subsequences
+        g = _a2a_transpose(xr, axis_name, n_dev)  # (..., C/D, A) real
+        # step 2: local fused packed rfft of length A per subsequence
+        gs = g.shape
+        pre, pim = _pf._pallas_rfft_packed(g.reshape(-1, a), a, True)
+        pre = pre.reshape(*gs[:-1], half_a)
+        pim = pim.reshape(*gs[:-1], half_a)
+        # step 3: build the A/2+1 level-2 rows per column: DC (real),
+        # twiddled k1 = 1..A/2-1, Nyquist pre-modulated by W_2C^{-c} (its
+        # half-bin-shifted transform becomes a plain C-FFT)
+        dc = pre[..., :1]
+        ny = pim[..., :1]
+        mid_re = pre[..., 1:] * twr - pim[..., 1:] * twi
+        mid_im = pre[..., 1:] * twi + pim[..., 1:] * twr
+        pad = rows_p - (half_a + 1)
+        z = jnp.zeros((*dc.shape[:-1], pad), jnp.float32)
+        lvl_re = jnp.concatenate([dc, mid_re, ny * nytr, z], axis=-1)
+        lvl_im = jnp.concatenate([jnp.zeros_like(dc), mid_im, ny * nyti, z], axis=-1)
+        # step 4: transpose back -> (..., rows_p/D, C) spectral rows
+        hr = _a2a_transpose(lvl_re, axis_name, n_dev)
+        hi = _a2a_transpose(lvl_im, axis_name, n_dev)
+        # step 5: length-C FFTs along the local row, engine-unordered
+        yr, yi = _local_rows(_pf._cfft_pair, (hr, hi), c, FFT_FORWARD)
+        return yr.reshape(*lead, -1), yi.reshape(*lead, -1)
+
+    return run(
+        jnp.asarray(x, jnp.float32),
+        jnp.asarray(twr_h),
+        jnp.asarray(twi_h),
+        jnp.asarray(nytr_h),
+        jnp.asarray(nyti_h),
+    )
+
+
+def sharded_irfft_planes(
+    re: jax.Array,
+    im: jax.Array,
+    mesh: Mesh,
+    n: int,
+    axis_name: str = TIME_AXIS,
+) -> jax.Array:
+    """Unscaled inverse of :func:`sharded_rfft_planes`: distributed packed
+    real spectrum planes -> time-sharded (..., N) real float32
+    (irfft(rfft(x)) == N * x). ``n`` is the signal length (the padded
+    spectrum planes do not determine it)."""
+    n_dev = mesh.shape[axis_name]
+    a, c = _dist_split(n, n_dev)
+    half_a = a // 2
+    rows_p = _rdist_rows(a, n_dev)
+    twr_h, twi_h, nytr_h, nyti_h = _rdist_tables(n, a)
+    lead = re.shape[:-1]
+    spec = _lead_spec(re.ndim, axis_name)
+    tw_spec = P(axis_name, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, tw_spec, tw_spec, tw_spec, tw_spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def run(re_loc, im_loc, twr, twi, nytr, nyti):
+        yr = re_loc.reshape(*lead, rows_p // n_dev, c)
+        yi = im_loc.reshape(*lead, rows_p // n_dev, c)
+        # mirror of forward step 5: backward C-FFTs consume the unordered bins
+        hr, hi = _local_rows(_pf._cfft_pair, (yr, yi), c, FFT_BACKWARD)
+        # transpose -> (..., C/D, rows_p); slice off the padding rows
+        ur = _a2a_transpose(hr, axis_name, n_dev)[..., : half_a + 1]
+        ui = _a2a_transpose(hi, axis_name, n_dev)[..., : half_a + 1]
+        # un-twiddle and rebuild the local packed level-1 planes (the
+        # backward C-FFT carries a factor C; imag parts of DC/Nyquist rows
+        # cancel analytically)
+        dc = ur[..., :1]
+        mid_re = ur[..., 1:half_a] * twr + ui[..., 1:half_a] * twi
+        mid_im = -ur[..., 1:half_a] * twi + ui[..., 1:half_a] * twr
+        ny = ur[..., half_a:] * nytr + ui[..., half_a:] * nyti
+        pre = jnp.concatenate([dc, mid_re], axis=-1)
+        pim = jnp.concatenate([ny, mid_im], axis=-1)
+        # local fused packed irfft of length A (unscaled: factor A)
+        ps = pre.shape
+        g = _pf._pallas_irfft_packed(
+            pre.reshape(-1, half_a), pim.reshape(-1, half_a), a, True
+        ).reshape(*ps[:-1], a)
+        # transpose back to time-contiguous rows
+        xr = _a2a_transpose(g, axis_name, n_dev)
+        return xr.reshape(*lead, -1)
+
+    return run(
+        jnp.asarray(re, jnp.float32),
+        jnp.asarray(im, jnp.float32),
+        jnp.asarray(twr_h),
+        jnp.asarray(twi_h),
+        jnp.asarray(nytr_h),
+        jnp.asarray(nyti_h),
+    )
+
+
+def sharded_rfft_convolve(
+    x: jax.Array,
+    h: jax.Array,
+    mesh: Mesh,
+    axis_name: str = TIME_AXIS,
+    scaling: float | jax.Array | None = None,
+) -> jax.Array:
+    """Circular convolution of real length-N signals, fully distributed
+    and batched: two distributed real forwards, an elementwise spectral
+    product on the distributed packed layout (no DC/Nyquist patch-ups
+    needed — see the layout note above), one distributed real inverse.
+    The multi-chip, real-first rendition of the reference's raison d'être
+    (/root/reference/chowdsp_fft.h:147-154). ``scaling`` defaults to 1/N.
+    """
+    n = x.shape[-1]
+    s = (1.0 / n) if scaling is None else scaling
+    ar, ai = sharded_rfft_planes(x, mesh, axis_name)
+    br, bi = sharded_rfft_planes(h, mesh, axis_name)
+    pr = (ar * br - ai * bi) * s
+    pi = (ar * bi + ai * br) * s
+    return sharded_irfft_planes(pr, pi, mesh, n, axis_name)
 
 
 def sharded_fft_convolve(

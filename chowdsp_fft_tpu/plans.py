@@ -295,6 +295,8 @@ def save_plan(plan: FFTPlan, path: str) -> None:
     (``fft_new_setup_preallocated``, /root/reference/chowdsp_fft.h:98-118);
     here a plan is a pytree of arrays, so persistence is plain numpy I/O.
     """
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"  # np.savez appends it; keep load_plan symmetric
     leaves, _ = jax.tree_util.tree_flatten(plan)
     np.savez(
         path,
@@ -307,6 +309,8 @@ def save_plan(plan: FFTPlan, path: str) -> None:
 def load_plan(path: str) -> FFTPlan:
     """Inverse of :func:`save_plan`. The twiddle tables are restored
     bit-exactly (no recomputation)."""
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     with np.load(path, allow_pickle=False) as z:
         n = int(z["n"])
         kind = str(z["kind"])

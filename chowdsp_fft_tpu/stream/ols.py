@@ -167,6 +167,10 @@ class PartitionedFIR:
         acc = None
         pad_cfg = [(0, 0)] * (xre.ndim - 2)
         for p in range(self.partitions):
+            if p >= nb:
+                # IR longer than the signal: partitions with no source block
+                # contribute nothing (p=0 always runs since nb >= 1).
+                break
             if p == 0:
                 xr_p, xi_p = xre, xim
             else:

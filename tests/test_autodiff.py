@@ -68,6 +68,34 @@ def test_grad_unordered_packed_chain(x):
     _grad_match(mk, x)
 
 
+def test_grad_composite_largeN_adjoint(rng):
+    """Regression (ADVICE r1): the direct-real composite path (N > 2^17)
+    must route through the custom_vjp wrappers — jax.grad used to fail with
+    'Linearization failed'. Verified via adjoint consistency
+    <J v, u> == <v, J^T u> on the pallas engine at N=2^18."""
+    n = 1 << 18
+    x = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+    u_re = jnp.asarray(rng.standard_normal((1, n // 2)), jnp.float32)
+    u_im = jnp.asarray(rng.standard_normal((1, n // 2)), jnp.float32)
+
+    f = lambda v: cf.rfft_packed(v, engine="pallas")
+    (y_re, y_im), vjp = jax.vjp(f, x)
+    (ct,) = vjp((u_re, u_im))
+    # J is real-linear: <f(x), u> == <x, J^T u> for linear f.
+    lhs = float(jnp.vdot(y_re, u_re) + jnp.vdot(y_im, u_im))
+    rhs = float(jnp.vdot(x, ct))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-9) < 1e-4
+
+    # Inverse path too (used to hit the same missing-rule failure).
+    g = lambda re, im: cf.irfft_packed(re, im, engine="pallas")
+    yt, vjp_i = jax.vjp(g, y_re, y_im)
+    w = jnp.asarray(rng.standard_normal(yt.shape), jnp.float32)
+    ct_re, ct_im = vjp_i(w)
+    lhs_i = float(jnp.vdot(yt, w))
+    rhs_i = float(jnp.vdot(y_re, ct_re) + jnp.vdot(y_im, ct_im))
+    assert abs(lhs_i - rhs_i) / max(abs(lhs_i), 1e-9) < 1e-4
+
+
 def test_grad_stream_fir(rng):
     """The streaming layer differentiates end-to-end (filter design /
     learned-IR use cases)."""

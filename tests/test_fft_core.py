@@ -251,6 +251,18 @@ def test_plan_save_load_roundtrip(tmp_path, rng):
     assert np.abs(got - ref).max() < tol(768)
 
 
+def test_plan_save_load_without_npz_suffix(tmp_path):
+    """Regression (ADVICE r1): np.savez appends '.npz' when the suffix is
+    missing; load_plan must open the same file save_plan wrote."""
+    from chowdsp_fft_tpu import plans as plans_mod
+
+    p = cf.make_plan(512, cf.FFT_COMPLEX)
+    path = str(tmp_path / "plan_no_suffix")
+    plans_mod.save_plan(p, path)
+    q = plans_mod.load_plan(path)
+    assert q.n == p.n and q.kind == p.kind
+
+
 def test_traced_scaling(rng):
     """scaling may be a traced jax.Array (per-frame gains, learned scales)."""
     import jax

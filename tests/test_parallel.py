@@ -181,6 +181,119 @@ def test_sharded_fft_roundtrip_and_differential(n_dev, rng):
     assert np.abs(back - z).max() < 2e-7 * n
 
 
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_rfft_differential_and_roundtrip(n_dev, rng):
+    """Distributed REAL forward (round 2): batched, packed-row layout,
+    differential vs numpy via rspectrum_order, unscaled round trip."""
+    from chowdsp_fft_tpu.parallel import dist_fft
+
+    mesh = parallel.dsp_mesh(n_dev, axis=parallel.TIME_AXIS)
+    n = 1 << 16
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    re, im = dist_fft.sharded_rfft_planes(jnp.asarray(x), mesh)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    full = np.fft.fft(x.astype(np.float64), axis=-1)
+    perm = dist_fft.rspectrum_order(n, n_dev)
+    valid = perm >= 0
+    exp = np.zeros_like(got, dtype=np.complex128)
+    exp[:, valid] = full[:, perm[valid]]
+    assert np.abs(got - exp).max() < 2e-7 * n
+    assert np.abs(got[:, ~valid]).max() == 0.0  # padding rows stay zero
+    back = np.asarray(dist_fft.sharded_irfft_planes(re, im, mesh, n)) / n
+    assert np.abs(back - x).max() < 2e-7 * n
+
+
+def test_sharded_rfft_convolve_matches_numpy(rng):
+    """Distributed real-stream convolution — the multi-chip, batched
+    rendition of the reference's real convolve pipeline
+    (/root/reference/chowdsp_fft.h:147-154, test.cpp:131-232)."""
+    from chowdsp_fft_tpu.parallel import dist_fft
+
+    mesh = parallel.dsp_mesh(8, axis=parallel.TIME_AXIS)
+    n = 1 << 16
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    h = rng.standard_normal((2, n)).astype(np.float32)
+    y = np.asarray(dist_fft.sharded_rfft_convolve(jnp.asarray(x), jnp.asarray(h), mesh))
+    ref = np.fft.irfft(
+        np.fft.rfft(x.astype(np.float64), axis=-1)
+        * np.fft.rfft(h.astype(np.float64), axis=-1),
+        axis=-1,
+    )
+    assert np.abs(y - ref).max() < 1e-3
+
+
+def test_sharded_fft_batched_matches_single(rng):
+    """The complex distributed path accepts leading batch axes (round 2)."""
+    from chowdsp_fft_tpu.parallel import dist_fft
+
+    mesh = parallel.dsp_mesh(4, axis=parallel.TIME_AXIS)
+    n = 1 << 16
+    z = (rng.standard_normal((2, 3, n)) + 1j * rng.standard_normal((2, 3, n))).astype(
+        np.complex64
+    )
+    re, im = dist_fft.sharded_fft_planes(jnp.asarray(z.real), jnp.asarray(z.imag), mesh)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(z.astype(np.complex128), axis=-1)
+    perm = dist_fft.spectrum_order(n, 4)
+    assert np.abs(got - ref[..., perm]).max() < 2e-7 * n
+    br, bi = dist_fft.sharded_ifft_planes(re, im, mesh)
+    back = (np.asarray(br) + 1j * np.asarray(bi)) / n
+    assert np.abs(back - z).max() < 2e-7 * n
+
+
+def test_multihost_mesh_device_injection():
+    """multihost_mesh lays hosts out as mesh rows (time axis = ICI within
+    a host, host axis = DCN) — validated by device-list injection since
+    real multi-host cannot run here (SURVEY.md section 7 item 5)."""
+
+    class FakeDev:
+        def __init__(self, pid, i):
+            self.process_index = pid
+            self.id = i
+
+        def __repr__(self):
+            return f"d{self.process_index}:{self.id}"
+
+    devs = [FakeDev(h, h * 4 + i) for h in range(2) for i in range(4)]
+    mesh = parallel.multihost_mesh(devices=devs)
+    assert mesh.axis_names == (parallel.HOST_AXIS, parallel.TIME_AXIS)
+    assert mesh.devices.shape == (2, 4)
+    # each row is one host
+    for r in range(2):
+        assert all(d.process_index == r for d in mesh.devices[r])
+    # interleaved device list still groups by host
+    shuffled = devs[::2] + devs[1::2]
+    mesh2 = parallel.multihost_mesh(devices=shuffled)
+    for r in range(2):
+        assert len({d.process_index for d in mesh2.devices[r]}) == 1
+    # uneven hosts fail loudly
+    with pytest.raises(ValueError, match="uneven"):
+        parallel.multihost_mesh(devices=devs[:7])
+
+
+def test_init_multihost_single_process_noop():
+    """Single-process (or unspecified) init after backend init is a
+    harmless no-op; a true multi-process misconfiguration — distributed
+    init after JAX use — must fail loudly."""
+    jnp.zeros(1).block_until_ready()  # force backend init first
+    parallel.init_multihost()  # backends are up in the test process: no-op
+    parallel.init_multihost(num_processes=1, process_id=0)  # ditto
+    with pytest.raises(RuntimeError, match="before any JAX"):
+        parallel.init_multihost(
+            coordinator_address="localhost:12355", num_processes=2, process_id=0
+        )
+
+
+def test_dist_split_invalid_n_raises_cleanly():
+    """Regression (ADVICE r1): non-pow2 N must raise the documented
+    ValueError up front, not fail deep inside kernel table construction."""
+    from chowdsp_fft_tpu.parallel import dist_fft
+
+    for bad_n in (3 * (1 << 15), 448 * 1024 // 2 * 3, 100000):
+        with pytest.raises(ValueError, match="pow2"):
+            dist_fft._dist_split(bad_n, 8)
+
+
 def test_sharded_fft_convolve_matches_numpy(rng):
     from chowdsp_fft_tpu.parallel import dist_fft
 

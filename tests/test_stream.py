@@ -55,6 +55,19 @@ def test_partitioned_fir_batched(rng):
     np.testing.assert_allclose(y, ref, atol=1e-3, rtol=0)
 
 
+def test_partitioned_fir_ir_longer_than_signal(rng):
+    """Regression (ADVICE r1): an IR with more partitions than the signal
+    has blocks (reverb IR longer than the buffer) used to fail with an
+    opaque broadcast error in the offline path; streaming handled it."""
+    block, t = 256, 512  # nb = 2 blocks
+    taps = 5 * block  # 5 partitions > 2 blocks
+    h = (rng.standard_normal(taps) / np.sqrt(taps)).astype(np.float32)
+    x = rng.standard_normal(t).astype(np.float32)
+    y = np.asarray(stream.partitioned_fir_apply(x, h, block=block))
+    ref = lfilter_ref(h, x)
+    np.testing.assert_allclose(y, ref, atol=1e-3, rtol=0)
+
+
 def test_partitioned_fir_step_streaming_equivalence(rng):
     """Block-by-block streaming must equal one-shot filtering (state
     carry correctness — the checkpoint/resume analog for DSP state)."""
