@@ -107,9 +107,11 @@ def config2_sweep(results, quick=False):
 
     rng = np.random.default_rng(2)
     rows = []
-    sizes = [2**e for e in range(8, 21)]
+    # 2^5..2^20: same span as the reference's bench (2^5..2^19,
+    # /root/reference/bench/bench.cpp:131-138) plus the BASELINE 2^20 row.
+    sizes = [2**e for e in range(5, 21)]
     if quick:
-        sizes = [4096, 65536]
+        sizes = [64, 4096, 65536]
     work = 1 << 22  # keep B*N constant
     for n in sizes:
         b = max(2, work // n)

@@ -611,8 +611,8 @@ def _rfft_kernel(
     x_ref,
     stw_re_ref,
     stw_im_ref,
-    dfth_re_ref,
-    dfth_im_ref,
+    msf_ref,
+    msg_ref,
     alt_ref,
     yre_ref,
     yim_ref,
@@ -636,20 +636,31 @@ def _rfft_kernel(
     # folded twiddle for k1=0 is identically 1, so post-stage == post-twiddle.
     nyq = jnp.sum(vre[0] * alt_ref[...], axis=-1)  # (TB,)
 
-    # Half merge: bins k = k1 + N1*k2 for k2 in [0, 64) cover [0, N/2).
-    yr, yi = _merge_karatsuba(vre, vim, dfth_re_ref[...], dfth_im_ref[...], n1 * tb)
-    yr = yr.reshape(n1, tb, half)
-    yi = yi.reshape(n1, tb, half)
+    # Column-packed half merge: bins k = k1 + N1*k2 for k2 in [0, 64).
+    # MXU time at these shapes scales with rows x passes and is INDEPENDENT
+    # of output columns <= 128 (measured: the 64-col Karatsuba ran at the
+    # full-width rate — benchmarks/ROOFLINE.md cost model), so instead of 3
+    # Karatsuba matmuls with half-empty output lanes, TWO full-width
+    # matmuls compute the joint [y_r | y_i] lane layout directly:
+    #   u = a_r @ [Mr | Mi],  w = a_i @ [-Mi | Mr],  j = u + w
+    # The lane-halves split is deferred past the flatten's minor transpose,
+    # where it becomes a free sublane-range slice.
+    rows = n1 * tb
+    u = _merge_dot(vre.reshape(rows, LANES), msf_ref[...])
+    w = _merge_dot(vim.reshape(rows, LANES), msg_ref[...])
+    j = (u + w).reshape(n1, tb, LANES)
 
-    # Flatten bins to (TB, N/2) planes. Mosaic cannot reshape across a
-    # sub-128-lane minor pair, so the flatten goes: minor 2D transpose ->
-    # (for natural bin order) major swap -> leading-dim collapse (layout
-    # no-op) -> one full 2D transpose back to batch-major.
+    j2 = jnp.swapaxes(j, 1, 2)  # (n1, 128, tb): minor 2D transpose
+    yr = j2[:, :half, :]  # (n1, 64, tb) — sublane slices, whole-vreg moves
+    yi = j2[:, half:, :]
+
     def to_plane(a):
-        u = jnp.swapaxes(a, 1, 2)  # (n1, 64, tb)
+        # (for natural bin order) major swap -> leading-dim collapse
+        # (layout no-op) -> one full 2D transpose back to batch-major.
+        # (Mosaic cannot reshape across a sub-128-lane minor pair.)
         if ordered:
-            u = jnp.swapaxes(u, 0, 1)  # (64, n1, tb): bin k = k1 + n1*k2
-        return jnp.swapaxes(u.reshape(n1 * half, tb), 0, 1)  # (tb, m)
+            a = jnp.swapaxes(a, 0, 1)  # (64, n1, tb): bin k = k1 + n1*k2
+        return jnp.swapaxes(a.reshape(n1 * half, tb), 0, 1)  # (tb, m)
 
     yr2 = to_plane(yr)
     yi2 = to_plane(yi)
@@ -820,8 +831,7 @@ def _pallas_rfft_packed_impl(
         return _small_rfft_packed(jnp.asarray(x, jnp.float32), n)
     n1 = n // LANES
     radices, (stw_re, stw_im), (dft_re, dft_im) = _tables_fwd_folded(n)
-    dfth_re = dft_re[:, : LANES // 2].copy()
-    dfth_im = dft_im[:, : LANES // 2].copy()
+    half = LANES // 2
     alt = dft_re[:, LANES // 2].reshape(1, LANES).copy()  # (-1)^n2
 
     b = x.shape[0]
@@ -832,7 +842,16 @@ def _pallas_rfft_packed_impl(
     bp = b + pad
     num_stages = stw_re.shape[0]
 
+    # Column-packed merge matrices (see _rfft_kernel): [Mr|Mi], [-Mi|Mr].
+    # (A batch-paired variant — complex stages on half the rows via the
+    # two-for-one trick — measured SLOWER: 182 vs 141 us at N=4096/B=1024;
+    # the Zrev operand row-moves and doubled flatten transposes cost more
+    # than the halved stage work. See benchmarks/NOTES.md round 2.)
+    msf = np.concatenate([dft_re[:, :half], dft_im[:, :half]], axis=1)
+    msg = np.concatenate([-dft_im[:, :half], dft_re[:, :half]], axis=1)
     kern = functools.partial(_rfft_kernel, n1=n1, radices=radices, ordered=ordered)
+    extra_tables = (msf, msg, alt)
+    extra_specs = [(LANES, LANES)] * 2 + [(1, LANES)]
     if joint:
         kern = functools.partial(kern, yim_ref=None)
 
@@ -860,10 +879,8 @@ def _pallas_rfft_packed_impl(
             pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             table((num_stages, n1, LANES)),
             table((num_stages, n1, LANES)),
-            table((LANES, LANES // 2)),
-            table((LANES, LANES // 2)),
-            table((1, LANES)),
-        ],
+        ]
+        + [table(s) for s in extra_specs],
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -877,7 +894,7 @@ def _pallas_rfft_packed_impl(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=_interpret(),
-    )(jnp.asarray(x, jnp.float32), stw_re, stw_im, dfth_re, dfth_im, alt)
+    )(jnp.asarray(x, jnp.float32), stw_re, stw_im, *extra_tables)
 
     if joint:
         (y,) = outs
@@ -1099,25 +1116,30 @@ def _small_call(kern, inputs, tables, n_out: int, num_out: int):
 
 
 def _small_cfft_kernel(xre_ref, xim_ref, wr_ref, wi_ref, yre_ref, yim_ref):
-    rows, k = xre_ref.shape
-    yr, yi = _merge_karatsuba(xre_ref[...], xim_ref[...], wr_ref[...], wi_ref[...], rows, k=k)
-    yre_ref[...] = yr
-    yim_ref[...] = yi
+    # 4-matmul schoolbook, not Karatsuba: at N <= 64 the reference error
+    # bound (2e-7*N) leaves < 2x margin and Karatsuba's (a+b)(Mr+Mi)
+    # product costs ~1 bit; MXU time is pass-bound so the accuracy is
+    # nearly free at these row counts.
+    ar, ai = xre_ref[...], xim_ref[...]
+    mr, mi = wr_ref[...], wi_ref[...]
+    yre_ref[...] = _merge_dot(ar, mr) - _merge_dot(ai, mi)
+    yim_ref[...] = _merge_dot(ar, mi) + _merge_dot(ai, mr)
 
 
-def _small_rfft_kernel(x_ref, cr_ref, ci_ref, yre_ref, yim_ref):
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+def _small_rfft_kernel(x_ref, cc_ref, yre_ref, yim_ref):
+    # One column-packed matmul x @ [Cr | Ci] (MXU time is pass-bound, so
+    # the packed form halves merge time vs two g*N/2-col matmuls).
+    m = yre_ref.shape[-1]
+    out = _merge_dot(x_ref[...], cc_ref[...])
+    yre_ref[...] = out[:, :m]
+    yim_ref[...] = out[:, m:]
+
+
+def _small_irfft_kernel(re_ref, im_ref, dd_ref, x_ref):
+    # One stacked-K matmul [re | im] @ [Dr; Di] (K = g*N <= 240).
+    x_ref[...] = _merge_dot(
+        jnp.concatenate([re_ref[...], im_ref[...]], axis=-1), dd_ref[...]
     )
-    yre_ref[...] = dot(x_ref[...], cr_ref[...])
-    yim_ref[...] = dot(x_ref[...], ci_ref[...])
-
-
-def _small_irfft_kernel(re_ref, im_ref, dr_ref, di_ref, x_ref):
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
-    x_ref[...] = dot(re_ref[...], dr_ref[...]) + dot(im_ref[...], di_ref[...])
 
 
 def _small_cfft_pair(xre, xim, n, forward):
@@ -1132,8 +1154,9 @@ def _small_cfft_pair(xre, xim, n, forward):
 def _small_rfft_packed(x, n):
     g = _small_g(n)
     cr, ci = _small_tables_r(n)
+    cc = np.concatenate([cr, ci], axis=1)  # (g*N, g*N) column-packed
     p, b = _small_pack(x, g)
-    yr, yi = _small_call(_small_rfft_kernel, [p], [cr, ci], g * (n // 2), 2)
+    yr, yi = _small_call(_small_rfft_kernel, [p], [cc], g * (n // 2), 2)
     m = n // 2
     return yr.reshape(-1, m)[:b], yi.reshape(-1, m)[:b]
 
@@ -1141,9 +1164,10 @@ def _small_rfft_packed(x, n):
 def _small_irfft_packed(yre, yim, n):
     g = _small_g(n)
     dr, di = _small_tables_ri(n)
+    dd = np.concatenate([dr, di], axis=0)  # (g*N, g*N) stacked-K
     pr, b = _small_pack(yre, g)
     pi, _ = _small_pack(yim, g)
-    (x,) = _small_call(_small_irfft_kernel, [pr, pi], [dr, di], g * n, 1)
+    (x,) = _small_call(_small_irfft_kernel, [pr, pi], [dd], g * n, 1)
     return x.reshape(-1, n)[:b]
 
 

@@ -189,6 +189,56 @@ class PartitionedFIR:
         y = yfull[..., self.block :].reshape(*x.shape[:-1], nb * self.block)
         return y[..., :t]
 
+    def step_k(self, state: dict, xk: jax.Array) -> tuple[dict, jax.Array]:
+        """Process K blocks at once: (..., K, block) -> (..., K, block).
+
+        The latency/throughput knob between :meth:`step` (K=1, one kernel
+        launch per block — launch-latency-bound at ~0.6 Gs/s on the
+        tunneled chip) and :meth:`apply_offline` (whole stream): a caller
+        with a K-block latency budget gets all K spectra from ONE batched
+        rfft and the FDL becomes K contiguous-slice accumulates against
+        the carried spectrum history. Identical math to K sequential
+        :meth:`step` calls (pinned by test); measured throughput scales
+        nearly linearly with K until kernel-bound (benchmarks/NOTES.md).
+        """
+        k = xk.shape[-2]
+        # frames: frame j = [block_{j-1} | block_j], with block_{-1} = prev
+        blocks_all = jnp.concatenate(
+            [state["prev"][..., None, :], jnp.asarray(xk, jnp.float32)], axis=-2
+        )
+        frames = jnp.concatenate(
+            [blocks_all[..., :-1, :], blocks_all[..., 1:, :]], axis=-1
+        )  # (..., K, n)
+        xre, xim = api.rfft_packed_unordered(frames, plan=self.plan, engine=self.engine)
+        # E rows: spectra of steps t-P .. t+K-1 (ascending)
+        e_re = jnp.concatenate([jnp.flip(state["fdl_re"], axis=-2), xre], axis=-2)
+        e_im = jnp.concatenate([jnp.flip(state["fdl_im"], axis=-2), xim], axis=-2)
+        p_total = self.partitions
+        acc = None
+        for p in range(p_total):
+            hr = self.h_re[..., p, :]
+            hi = self.h_im[..., p, :]
+            if hr.ndim > 1:  # per-stream filters broadcast below the block axis
+                hr, hi = hr[..., None, :], hi[..., None, :]
+            acc = api.convolve_accumulate_packed(
+                (
+                    e_re[..., p_total - p : p_total - p + k, :],
+                    e_im[..., p_total - p : p_total - p + k, :],
+                ),
+                (hr, hi),
+                ab=acc,
+                scaling=1.0 / self.n,
+            )
+        yfull = api.irfft_packed_unordered(
+            acc[0], acc[1], plan=self.plan, engine=self.engine
+        )
+        new_state = {
+            "fdl_re": jnp.flip(e_re[..., k : k + p_total, :], axis=-2),
+            "fdl_im": jnp.flip(e_im[..., k : k + p_total, :], axis=-2),
+            "prev": jnp.asarray(xk, jnp.float32)[..., -1, :],
+        }
+        return new_state, yfull[..., self.block :]
+
     def step(self, state: dict, xblock: jax.Array) -> tuple[dict, jax.Array]:
         """Process one (..., block) input block -> (..., block) output."""
         frame = jnp.concatenate([state["prev"], xblock], axis=-1)  # (..., n)

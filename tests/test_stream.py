@@ -2,6 +2,7 @@
 demod, channelizer — differential against scipy/numpy float64."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 import scipy.signal as sig
 
@@ -83,6 +84,40 @@ def test_partitioned_fir_step_streaming_equivalence(rng):
     y_stream = np.concatenate(outs)
     ref = lfilter_ref(h, x)
     np.testing.assert_allclose(y_stream, ref, atol=1e-3, rtol=0)
+
+
+def test_partitioned_fir_step_k_equivalence(rng):
+    """K-block batched stepping == K sequential steps == lfilter (round 2:
+    the latency/throughput knob between step and apply_offline)."""
+    taps, block = 1500, 256
+    h = (rng.standard_normal(taps) / np.sqrt(taps)).astype(np.float32)
+    fir = stream.PartitionedFIR(h, block=block)
+    nb = 12
+    x = rng.standard_normal(nb * block).astype(np.float32)
+    xk = x.reshape(nb, block)
+
+    # one step_k over all blocks
+    st = fir.init_state()
+    _, yk = fir.step_k(st, jnp.asarray(xk))
+    ref = lfilter_ref(h, x)
+    np.testing.assert_allclose(np.asarray(yk).reshape(-1), ref, atol=1e-3, rtol=0)
+
+    # mixed chunk sizes carry state correctly (K=5 then K=7)
+    st = fir.init_state()
+    st, y1 = fir.step_k(st, jnp.asarray(xk[:5]))
+    st, y2 = fir.step_k(st, jnp.asarray(xk[5:]))
+    got = np.concatenate([np.asarray(y1).reshape(-1), np.asarray(y2).reshape(-1)])
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=0)
+
+    # equals sequential step()s
+    st1 = fir.init_state()
+    outs = []
+    for i in range(nb):
+        st1, y = fir.step(st1, xk[i])
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.asarray(yk).reshape(-1), np.concatenate(outs), atol=1e-4, rtol=0
+    )
 
 
 # ---------------------------------------------------------------------------
