@@ -264,6 +264,20 @@ for nd in (1, 2, 4, 8):
     y = np.asarray(parallel.sharded_partitioned_fir(jnp.asarray(x), jnp.asarray(h), mesh, block=512))
     ref = np.convolve(x.astype(np.float64), h.astype(np.float64))[:t]
     out[nd] = {"max_err": float(np.abs(y - ref).max()), "pass": bool(np.abs(y - ref).max() < 1e-3)}
+# distributed batched REAL FFT round trip + convolution (round 2 surface)
+mesh = parallel.dsp_mesh(8, axis=parallel.TIME_AXIS)
+n = 1 << 16
+xb = rng.standard_normal((2, n)).astype(np.float32)
+hb = rng.standard_normal((2, n)).astype(np.float32)
+re, im = parallel.sharded_rfft_planes(jnp.asarray(xb), mesh)
+back = np.asarray(parallel.sharded_irfft_planes(re, im, mesh, n)) / n
+yc = np.asarray(parallel.sharded_rfft_convolve(jnp.asarray(xb), jnp.asarray(hb), mesh))
+refc = np.fft.irfft(np.fft.rfft(xb.astype(np.float64), axis=-1) * np.fft.rfft(hb.astype(np.float64), axis=-1), axis=-1)
+out["dist_rfft"] = {
+    "roundtrip_err": float(np.abs(back - xb).max()),
+    "convolve_err": float(np.abs(yc - refc).max()),
+    "pass": bool(np.abs(back - xb).max() < 2e-7 * n and np.abs(yc - refc).max() < 1e-3),
+}
 print(json.dumps(out))
 """ % str(REPO)
     env = dict(os.environ)
@@ -294,7 +308,13 @@ print(json.dumps(out))
         "ici_model": model,
     }
     for nd, row in correctness.items():
-        print(f"config4: {nd} dev correctness: err {row['max_err']:.2e} {'PASS' if row['pass'] else 'FAIL'}")
+        if nd == "dist_rfft":
+            print(
+                f"config4: distributed real FFT: rt err {row['roundtrip_err']:.2e}, "
+                f"conv err {row['convolve_err']:.2e} {'PASS' if row['pass'] else 'FAIL'}"
+            )
+        else:
+            print(f"config4: {nd} dev correctness: err {row['max_err']:.2e} {'PASS' if row['pass'] else 'FAIL'}")
     for nd, row in model.items():
         print(f"config4: {nd}-chip model eff: serial {row['efficiency_serial_halo']}, overlapped {row['efficiency_overlapped']}")
 
@@ -372,6 +392,14 @@ def main():
                 f"| {nd} | {vtxt} | {mrow['efficiency_serial_halo']} "
                 f"| {mrow['efficiency_overlapped']} |"
             )
+    if "ici_model" in c4 and "dist_rfft" in c4.get("virtual_mesh_correctness", {}):
+        dr = c4["virtual_mesh_correctness"]["dist_rfft"]
+        md += [
+            "",
+            f"Distributed batched REAL FFT (8-device mesh): round-trip err "
+            f"{dr['roundtrip_err']:.2e}, convolve err {dr['convolve_err']:.2e} — "
+            f"{'PASS' if dr['pass'] else 'FAIL'}",
+        ]
     md += [
         "",
         "## Config 5 — SDR chain (256 channels)",

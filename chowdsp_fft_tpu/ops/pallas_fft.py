@@ -763,9 +763,13 @@ def _irfft_kernel(
 
 
 def _rbatch_tile(n: int, b: int) -> int:
-    """Batch tile for the fused real kernels (swept on v5e: tb=64 best at
-    N=4096; tb*N capped at 2^18 elements to stay inside scoped VMEM)."""
-    tb = max(8, min(64, (1 << 18) // n))
+    """Batch tile for the fused real kernels. Swept on v5e: constant
+    tb*N ~ 2^18 elements wins (tb=64 at N=4096: 137us vs 155/208 at
+    128/256; tb=256 at N=1024: 260us roundtrip vs 335 at 64 — bigger
+    tiles amortize per-grid-step overhead at smaller N), capped at 256
+    rows and by scoped VMEM."""
+    b8 = -(-b // 8) * 8  # don't pad tiny batches up to a huge tile
+    tb = max(8, min(256, (1 << 18) // n, b8))
     return (tb // 8) * 8
 
 
@@ -903,6 +907,145 @@ def _pallas_rfft_packed_impl(
     if pad:
         yre, yim = yre[:b], yim[:b]
     return yre, yim
+
+
+def _rfft_cols_kernel(
+    x_ref,
+    stw_re_ref,
+    stw_im_ref,
+    msf_ref,
+    msg_ref,
+    alt_ref,
+    yre_ref,
+    yim_ref,
+    *,
+    n1: int,
+    radices: tuple[int, ...],
+):
+    """Column-blocked real forward for the composite's level 1: the block
+    is (B, A, TC) — TC stride-C subsequences of every batch row, read
+    STRAIGHT from the untransposed (B, A, C) array (the transpose that
+    used to be a standalone XLA pass happens as an in-VMEM minor relayout
+    here). Output block (B, TC, A/2) lands directly in the (B, C, A/2)
+    layout the composite's twiddle step consumes. The grid is 1-D over
+    column tiles with the batch folded into the block: a 2-D grid with
+    leading-1 blocks sent the Mosaic compile time to 199s (vs 10s for
+    this form — NOTES.md round 2)."""
+    bb, _, tc = x_ref.shape
+    half = LANES // 2
+    xs = x_ref[...]
+    vre = jnp.swapaxes(xs.reshape(bb, n1, LANES, tc), 0, 1)  # (n1, b, 128, tc)
+    vre = jnp.swapaxes(vre, 2, 3).reshape(n1, bb * tc, LANES)
+    vre, vim = _stockham_rows(vre, None, radices, stw_re_ref[...], stw_im_ref[...], True)
+    nyq = jnp.sum(vre[0] * alt_ref[...], axis=-1)  # (b*tc,)
+    rows = n1 * bb * tc
+    u = _merge_dot(vre.reshape(rows, LANES), msf_ref[...])
+    w = _merge_dot(vim.reshape(rows, LANES), msg_ref[...])
+    j = (u + w).reshape(n1, bb * tc, LANES)
+    j2 = jnp.swapaxes(j, 1, 2)  # (n1, 128, b*tc)
+    m = n1 * half
+    yr = jnp.swapaxes(j2[:, :half, :], 0, 1)  # (64, n1, b*tc): ordered bins
+    yi = jnp.swapaxes(j2[:, half:, :], 0, 1)
+    yr2 = jnp.swapaxes(yr.reshape(m, bb * tc), 0, 1).reshape(bb, tc, m)
+    yi2 = jnp.swapaxes(yi.reshape(m, bb * tc), 0, 1).reshape(bb, tc, m)
+    col = jax.lax.broadcasted_iota(jnp.int32, yi2.shape, 2)
+    yi2 = jnp.where(col == 0, nyq.reshape(bb, tc)[..., None], yi2)
+    yre_ref[...] = yr2
+    yim_ref[...] = yi2
+
+
+def _col_tile(a: int, c: int, b: int) -> int:
+    """Column tile: block is (B, A, TC) so TC scales down with B*A; must
+    divide C and be >= 128 (Mosaic requires the minor block dim be a
+    multiple of 128 or the whole axis)."""
+    tc = max(128, min(256, (1 << 19) // (b * a)))
+    while c % tc:
+        tc //= 2
+    return tc
+
+
+def _cols_supported(b: int, a: int, c: int) -> bool:
+    """The batch-folded block must fit VMEM comfortably."""
+    tc = _col_tile(a, c, b)
+    return tc >= 128 and c % tc == 0 and b * a * tc * 4 <= (8 << 20)
+
+
+def _rfft_packed_cols_impl(x3: jax.Array, a: int) -> tuple[jax.Array, jax.Array]:
+    """(B, A, C) f32 -> packed planes of the length-A rfft of every
+    stride-C subsequence, laid out (B, C, A/2) (the composite level-1
+    shape) — no standalone transpose pass."""
+    b, a_, c = x3.shape
+    assert a_ == a
+    n1 = a // LANES
+    radices, (stw_re, stw_im), (dft_re, dft_im) = _tables_fwd_folded(a)
+    half = LANES // 2
+    msf = np.concatenate([dft_re[:, :half], dft_im[:, :half]], axis=1)
+    msg = np.concatenate([-dft_im[:, :half], dft_re[:, :half]], axis=1)
+    alt = dft_re[:, LANES // 2].reshape(1, LANES).copy()
+    num_stages = stw_re.shape[0]
+    tc = _col_tile(a, c, b)
+    m = a // 2
+
+    kern = functools.partial(_rfft_cols_kernel, n1=n1, radices=radices)
+
+    def table(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda k, z=zeros: z, memory_space=pltpu.VMEM)
+
+    yre, yim = pl.pallas_call(
+        kern,
+        grid=(c // tc,),
+        in_specs=[
+            pl.BlockSpec((b, a, tc), lambda k: (0, 0, k), memory_space=pltpu.VMEM),
+            table((num_stages, n1, LANES)),
+            table((num_stages, n1, LANES)),
+            table((LANES, LANES)),
+            table((LANES, LANES)),
+            table((1, LANES)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, tc, m), lambda k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, m), lambda k: (0, k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, m), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * c * n1 * LANES * LANES
+            + int(2.5 * b * c * a * max(1, np.log2(max(2, n1)))) * 2,
+            bytes_accessed=4 * (2 * b * c * a),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(x3, jnp.float32), stw_re, stw_im, msf, msg, alt)
+    return yre, yim
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _rfft_packed_cols(x3, a):
+    """Column-blocked level-1 forward with an exact adjoint (the packed
+    irfft of the half-weighted cotangent, transposed back to (B, A, C) —
+    the backward pass pays the explicit transposes the forward fuses)."""
+    return _rfft_packed_cols_impl(x3, a)
+
+
+def _rfft_packed_cols_fwd(x3, a):
+    return _rfft_packed_cols_impl(x3, a), None
+
+
+def _rfft_packed_cols_bwd(a, _res, ct):
+    b, c, m = ct[0].shape
+    sre, sim = _halfspec_weight(ct[0], ct[1], a, 0.5)
+    xt = _pallas_irfft_packed_impl(sre.reshape(b * c, m), sim.reshape(b * c, m), a, True)
+    return (jnp.swapaxes(xt.reshape(b, c, a), 1, 2),)
+
+
+_rfft_packed_cols.defvjp(_rfft_packed_cols_fwd, _rfft_packed_cols_bwd)
 
 
 def _rfft_packed_joint(x: jax.Array, n: int, ordered: bool = True) -> jax.Array:
@@ -1492,14 +1635,21 @@ def _rfft_direct_composite(x):
     b = xf.shape[0]
     half_a = a // 2
 
-    # Level 1: real FFTs of the stride-C subsequences = rows after one
-    # transpose. Packed planes (B, C, A/2), Nyquist of each row in im[0].
-    xt = jnp.swapaxes(xf.reshape(b, a, c), 1, 2).reshape(b * c, a)
-    # custom_vjp wrapper (NOT _impl): the pieces' VJPs compose to the
+    # Level 1: real FFTs of the stride-C subsequences, read column-blocked
+    # straight from the (B, A, C) view — the input transpose happens as an
+    # in-VMEM relayout inside the kernel instead of a standalone HBM pass
+    # (~74us of the 540us total at 2^20 before this; NOTES.md round 2).
+    # custom_vjp wrappers (NOT _impl): the pieces' VJPs compose to the
     # composite gradient; the raw pallas_call has no autodiff rule.
-    pre, pim = _pallas_rfft_packed(xt, a, True)
-    pre = jnp.swapaxes(pre.reshape(b, c, half_a), 1, 2)  # (B, A/2, C)
-    pim = jnp.swapaxes(pim.reshape(b, c, half_a), 1, 2)
+    if _cols_supported(b, a, c):
+        pre, pim = _rfft_packed_cols(xf.reshape(b, a, c), a)  # (B, C, A/2) x2
+        pre = jnp.swapaxes(pre, 1, 2)  # (B, A/2, C); fuses into the twiddle
+        pim = jnp.swapaxes(pim, 1, 2)
+    else:  # batch too large for the folded block: explicit transpose path
+        xt = jnp.swapaxes(xf.reshape(b, a, c), 1, 2).reshape(b * c, a)
+        pre, pim = _pallas_rfft_packed(xt, a, True)
+        pre = jnp.swapaxes(pre.reshape(b, c, half_a), 1, 2)
+        pim = jnp.swapaxes(pim.reshape(b, c, half_a), 1, 2)
 
     # Level-2 input rows: DC (real), k1 = 1..A/2-1 (twiddled complex),
     # Nyquist (real, pre-modulated by W_{2C}^{-c} so its half-bin-shifted
