@@ -149,6 +149,29 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _kernel_radices(n1: int) -> tuple[int, ...]:
+    """Stage radices for the in-kernel Stockham: the plan's {4,2,3,5}
+    factorization with the tail's power-of-two part re-packed into radix-8
+    butterflies (fewer stages = fewer full passes over the VMEM working
+    set; each stage costs a reshape/stack relayout + twiddle regardless of
+    radix). The FIRST factor stays in {2,4} so the real-input
+    specialization in _stockham_rows keeps applying."""
+    from ..plans import factorize
+
+    f = list(factorize(n1)) if n1 > 1 else []
+    if not f:
+        return ()
+    first, rest = f[0], f[1:]
+    two_exp = sum({2: 1, 4: 2}.get(r, 0) for r in rest)
+    others = [r for r in rest if r not in (2, 4)]
+    packed = [8] * (two_exp // 3)
+    if two_exp % 3 == 2:
+        packed.append(4)
+    elif two_exp % 3 == 1:
+        packed.append(2)
+    return tuple([first] + packed + others)
+
+
 @functools.lru_cache(maxsize=64)
 def _tables(n: int, forward: bool):
     """Returns (stage_tw, main_tw, dft_mat) as numpy float32 re/im pairs.
@@ -167,12 +190,10 @@ def _tables(n: int, forward: bool):
     n1 = n // LANES
     sgn = -1.0 if forward else 1.0
 
-    # Stage twiddles for the N1 Stockham: mixed radices {4,2,3,5}, the same
-    # set (and greedy order) as the reference's decompose()
-    # (/root/reference/simd/chowdsp_fft_impl_common.hpp:51-82).
-    from ..plans import factorize
-
-    radices = list(factorize(n1)) if n1 > 1 else []
+    # Stage twiddles for the N1 Stockham: mixed radices {8,4,2,3,5} — the
+    # reference's {4,2,3,5} decompose() set (impl_common.hpp:51-82) with
+    # the pow2 tail packed into radix-8 stages (see _kernel_radices).
+    radices = list(_kernel_radices(n1))
     assert int(np.prod(radices) if radices else 1) == n1
 
     # Stage t multiplies the *post-butterfly, re-flattened* (N1,) rows:
@@ -320,6 +341,43 @@ def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool):
                     t3r, t3i = -dbi, dbr  # +i * (b - d)
                 zr = [t0r + t2r, t1r + t3r, t0r - t2r, t1r - t3r]
                 zi = [t0i + t2i, t1i + t3i, t0i - t2i, t1i - t3i]
+            elif r == 8:
+                # Radix-8 as two radix-4s + the ω^j = e^{∓2πij/8} combine:
+                # y_j = A_j + ω^j B_j, y_{j+4} = A_j − ω^j B_j.
+                def bf4(q0r, q0i, q1r, q1i, q2r, q2i, q3r, q3i):
+                    t0r, t0i = q0r + q2r, q0i + q2i
+                    t1r, t1i = q0r - q2r, q0i - q2i
+                    t2r, t2i = q1r + q3r, q1i + q3i
+                    dr_, di_ = q1r - q3r, q1i - q3i
+                    if sign_fwd:
+                        t3r, t3i = di_, -dr_
+                    else:
+                        t3r, t3i = -di_, dr_
+                    return (
+                        (t0r + t2r, t0i + t2i),
+                        (t1r + t3r, t1i + t3i),
+                        (t0r - t2r, t0i - t2i),
+                        (t1r - t3r, t1i - t3i),
+                    )
+
+                A = bf4(pr[0], pi[0], pr[2], pi[2], pr[4], pi[4], pr[6], pi[6])
+                Bv = bf4(pr[1], pi[1], pr[3], pi[3], pr[5], pi[5], pr[7], pi[7])
+                c8 = 0.7071067811865476  # sqrt(2)/2
+                sg = 1.0 if sign_fwd else -1.0
+                # ω^j B_j for j = 0..3 (fwd: ω = (1 - i)/sqrt(2))
+                wb = [Bv[0]]
+                br_, bi_ = Bv[1]
+                wb.append((c8 * (br_ + sg * bi_), c8 * (bi_ - sg * br_)))
+                br_, bi_ = Bv[2]
+                wb.append((sg * bi_, -sg * br_))
+                br_, bi_ = Bv[3]
+                wb.append((c8 * (sg * bi_ - br_), -c8 * (sg * br_ + bi_)))
+                zr = [A[j][0] + wb[j][0] for j in range(4)] + [
+                    A[j][0] - wb[j][0] for j in range(4)
+                ]
+                zi = [A[j][1] + wb[j][1] for j in range(4)] + [
+                    A[j][1] - wb[j][1] for j in range(4)
+                ]
             elif r == 3:  # the passf3_ps analog (sse:182-219)
                 h3 = 0.8660254037844386  # sqrt(3)/2 = |sin(2*pi/3)|
                 ur, ui = pr[1] + pr[2], pi[1] + pi[2]
@@ -769,7 +827,10 @@ def _rbatch_tile(n: int, b: int) -> int:
     tiles amortize per-grid-step overhead at smaller N), capped at 256
     rows and by scoped VMEM."""
     b8 = -(-b // 8) * 8  # don't pad tiny batches up to a huge tile
-    tb = max(8, min(256, (1 << 18) // n, b8))
+    # floor 16 rows: sub-16-row tiles at N >= 2^16 are per-op overhead
+    # bound (2^17 tb=8: 472us vs tb=16: 333us, +42% — NOTES.md round 2)
+    tb = max(16, (1 << 18) // n)
+    tb = max(8, min(256, tb, b8))
     return (tb // 8) * 8
 
 
