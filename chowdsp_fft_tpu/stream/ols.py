@@ -269,6 +269,7 @@ def partitioned_fir_apply(
     block: int = 1024,
     engine: str = "auto",
     streaming: bool = False,
+    chunk: int = 1,
 ) -> jax.Array:
     """Filter (..., T) streams with a long FIR `h` through the uniformly
     partitioned FDL. Returns (..., T) (zero-state, truncated).
@@ -278,24 +279,35 @@ def partitioned_fir_apply(
     axis — no lax.scan, so throughput is kernel-bound instead of
     launch-latency-bound (the 256-sequential-steps scan measured ~0.7 Gs/s
     vs multi-Gs/s batched; NOTES.md). ``streaming=True`` runs the
-    block-sequential scan (identical math; the real-time state semantics).
-    """
+    block-sequential scan (identical math; the real-time state semantics);
+    ``chunk=K`` (with streaming) scans over K-block :meth:`PartitionedFIR.step_k`
+    calls instead — the latency/throughput knob (K blocks of latency buys
+    ~K-fold fewer sequential kernel launches; 69 -> 2.0 us/block at K=64
+    on-chip)."""
     fir = PartitionedFIR(h, block=block, engine=engine)
     t = x.shape[-1]
     nb = -(-t // fir.block)
 
     if streaming:
-        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * fir.block - t)])
-        blocks = xp.reshape(*x.shape[:-1], nb, fir.block)
-        blocks = jnp.moveaxis(blocks, -2, 0)  # (nb, ..., block)
+        k = max(1, min(chunk, nb))
+        nchunks = -(-nb // k)
+        pad_t = nchunks * k * fir.block - t
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad_t)])
+        blocks = xp.reshape(*x.shape[:-1], nchunks, k, fir.block)
+        blocks = jnp.moveaxis(blocks, -3, 0)  # (nchunks, ..., K, block)
         state = fir.init_state(x.shape[:-1])
 
-        def body(st, xb):
-            st, y = fir.step(st, xb)
-            return st, y
+        if k == 1:
+            def body(st, xb):
+                return fir.step(st, xb[..., 0, :])
+        else:
+            def body(st, xb):
+                return fir.step_k(st, xb)
 
         _, ys = jax.lax.scan(body, state, blocks)
-        y = jnp.moveaxis(ys, 0, -2).reshape(*x.shape[:-1], nb * fir.block)
+        # ys: (nchunks, ..., [K,] block) -> (..., T)
+        ys = jnp.moveaxis(ys, 0, -2 if k == 1 else -3)
+        y = ys.reshape(*x.shape[:-1], nchunks * k * fir.block)
         return y[..., :t]
 
     return fir.apply_offline(x)

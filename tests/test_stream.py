@@ -86,6 +86,20 @@ def test_partitioned_fir_step_streaming_equivalence(rng):
     np.testing.assert_allclose(y_stream, ref, atol=1e-3, rtol=0)
 
 
+def test_partitioned_fir_streaming_chunked(rng):
+    """streaming=True with chunk=K (scan over step_k) == plain streaming
+    == lfilter, including a T that doesn't divide K*block."""
+    taps, block, t = 1200, 256, 256 * 11 - 37
+    h = (rng.standard_normal(taps) / np.sqrt(taps)).astype(np.float32)
+    x = rng.standard_normal(t).astype(np.float32)
+    ref = lfilter_ref(h, x)
+    for k in (1, 4, 16):
+        y = np.asarray(
+            stream.partitioned_fir_apply(x, h, block=block, streaming=True, chunk=k)
+        )
+        np.testing.assert_allclose(y, ref, atol=1e-3, rtol=0, err_msg=f"chunk={k}")
+
+
 def test_partitioned_fir_step_k_equivalence(rng):
     """K-block batched stepping == K sequential steps == lfilter (round 2:
     the latency/throughput knob between step and apply_offline)."""
