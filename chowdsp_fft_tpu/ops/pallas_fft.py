@@ -73,7 +73,14 @@ _MIN_N = 2 * LANES  # smallest N with a nontrivial sublane FFT
 # size below the Stockham kernel's floor runs as a dense (g*N, g*N)
 # block-diagonal DFT matmul with g = 128//N transforms packed per lane row).
 _MIN_SMALL = 8
-_MAX_SMALL = _MIN_N - 1  # everything below the Stockham kernel's floor
+# Direct-DFT cost per signal ~ 6*N^2/16384 MXU row-passes vs the Stockham
+# kernel's ~6*N/64: equal at exactly N=256, where direct also skips all
+# stage/flatten work — so 256 dispatches direct. Between 256 and 512 the
+# direct path additionally covers the {2,3,5}-smooth sizes that are NOT
+# multiples of 128 (320, 360, 400, 480, ...), which previously fell to the
+# portable engine.
+_MAX_SMALL = 256
+_MAX_SMALL_FALLBACK = 511  # direct beats the portable engine up to here
 # Single-kernel bound: N=2^17 compiles and runs on v5e (tb=8); 2^18 fails
 # Mosaic compilation. Measured 1.6-2.2x faster than the HBM-staged
 # composite at 2^16..2^17, so the kernel runs as large as it can.
@@ -123,12 +130,23 @@ def _has_composite_split(n: int) -> bool:
     return True
 
 
+
+def _small_dispatch(n: int) -> bool:
+    """Route to the direct-DFT matmul path: everything up to 256, plus the
+    {2,3,5}-smooth sizes below 512 that are not multiples of 128 (no
+    Stockham kernel exists for those; direct beats the portable engine)."""
+    if n <= _MAX_SMALL:
+        return n >= _MIN_SMALL
+    return n <= _MAX_SMALL_FALLBACK and not _is_smooth_multiple(n)
+
 def supports_plan(plan: FFTPlan) -> bool:
     if jax.dtypes.canonicalize_dtype(jnp.float32) != jnp.float32:
         return False
     n = plan.n if plan.kind == FFT_REAL else plan.cfft_n
-    if n <= _MAX_SMALL:  # direct-DFT matmul path (plan validity => smooth)
-        return n >= _MIN_SMALL
+    if _small_dispatch(n):  # direct-DFT matmul path
+        return True
+    if n < _MIN_SMALL:
+        return False
     if n <= _MAX_N:  # single Stockham kernel (fused real kernel: same bound)
         return _is_smooth_multiple(n)
     # Above the single kernel: the two-level HBM-staged composite — any
@@ -891,7 +909,7 @@ def _pallas_rfft_packed_impl(
     ``joint=True`` returns ONE (B, N) buffer holding [re | im] instead —
     written directly by the kernel, so chains that keep the planes together
     (bench loops, spectra stored as one tensor) pay zero relayout."""
-    if n <= _MAX_SMALL:
+    if _small_dispatch(n):
         assert not joint
         return _small_rfft_packed(jnp.asarray(x, jnp.float32), n)
     n1 = n // LANES
@@ -1118,7 +1136,7 @@ def _rfft_packed_joint(x: jax.Array, n: int, ordered: bool = True) -> jax.Array:
 
 def _pallas_irfft_packed_impl(yre: jax.Array, yim: jax.Array, n: int, ordered: bool) -> jax.Array:
     """Packed half-spectrum planes ((B, N/2) x2) -> (B, N) f32, unscaled."""
-    if n <= _MAX_SMALL:
+    if _small_dispatch(n):
         return _small_irfft_packed(
             jnp.asarray(yre, jnp.float32), jnp.asarray(yim, jnp.float32), n
         )
@@ -1548,7 +1566,7 @@ _cfft_pair.defvjp(_cfft_pair_fwd, _cfft_pair_bwd)
 
 def _cfft_pair_impl(xre, xim, n, direction, ordered):
     forward = direction == FFT_FORWARD
-    if n <= _MAX_SMALL:
+    if _small_dispatch(n):
         # Direct-DFT matmul; natural bin order either way (ordered flag moot).
         return _small_cfft_pair(xre, xim, n, forward)
     if n > _MAX_N:

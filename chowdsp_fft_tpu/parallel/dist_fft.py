@@ -84,10 +84,14 @@ def _dist_split(n: int, n_dev: int) -> tuple[int, int]:
 
 def _engine_perm(length: int) -> np.ndarray:
     """The single-chip engine's unordered bin permutation for a local FFT
-    of this length (identity when the portable engine would be picked)."""
+    of this length: digit-transposed for the Stockham-kernel path,
+    identity for the direct-DFT small path and the portable engine (both
+    emit natural order)."""
     from ..plans import FFT_COMPLEX, cached_plan
 
-    if _pf.supports_plan(cached_plan(length, FFT_COMPLEX)):
+    if _pf.supports_plan(cached_plan(length, FFT_COMPLEX)) and not _pf._small_dispatch(
+        length
+    ):
         return _pf._kernel_perm(length)
     return np.arange(length, dtype=np.int64)
 

@@ -32,14 +32,16 @@ def test_supports_plan():
     assert pallas_fft.supports_plan(cf.make_plan(4096, cf.FFT_REAL))
     assert pallas_fft.supports_plan(cf.make_plan(3 * 4096, cf.FFT_REAL))  # 96*128
     assert pallas_fft.supports_plan(cf.make_plan(9216, cf.FFT_COMPLEX))  # 72*128
-    # Small-N direct-DFT path (round 2): everything below the Stockham
-    # kernel's floor dispatches to the matmul kernel.
+    # Small-N direct-DFT path (round 2): everything up to 256, plus the
+    # smooth non-multiples of 128 below 512 (320, 480, ...), dispatches to
+    # the matmul kernel — the metal engine now covers EVERY valid size.
     assert pallas_fft.supports_plan(cf.make_plan(96, cf.FFT_COMPLEX))
     assert pallas_fft.supports_plan(cf.make_plan(64, cf.FFT_COMPLEX))
     assert pallas_fft.supports_plan(cf.make_plan(32, cf.FFT_REAL))
-    # Between the small path's cap and the Stockham floor there is no gap,
-    # but non-multiples of 128 above it still fall back:
-    assert not pallas_fft.supports_plan(cf.make_plan(480, cf.FFT_COMPLEX))  # not a multiple of 128
+    assert pallas_fft.supports_plan(cf.make_plan(480, cf.FFT_COMPLEX))
+    assert pallas_fft.supports_plan(cf.make_plan(320, cf.FFT_REAL))
+    # Above 512, non-multiples of 128 still fall back to the portable engine:
+    assert not pallas_fft.supports_plan(cf.make_plan(960, cf.FFT_COMPLEX))
 
 
 @pytest.mark.parametrize("n", PALLAS_C_SIZES)
@@ -66,7 +68,12 @@ def test_pallas_unordered_is_fixed_permutation(n, rng):
     x = rand_complex(rng, (2, n))
     ordered = np.asarray(cf.fft(x, engine="pallas"))
     unordered = np.asarray(cf.fft_unordered(x, engine="pallas"))
-    # unordered = digit-transposed ordered: [k1, k2] holds X[k1 + N1*k2]
+    if pallas_fft._small_dispatch(n):
+        # Direct-DFT path (N <= 256): natural order both ways — the
+        # engine-private "unordered" layout is the ordered one.
+        np.testing.assert_allclose(unordered, ordered, atol=1e-4, rtol=0)
+        return
+    # Stockham-kernel path: digit-transposed — [k1, k2] holds X[k1 + N1*k2]
     n1 = n // pallas_fft.LANES
     perm = (np.arange(n).reshape(n1, pallas_fft.LANES) * 0
             + np.arange(n1)[:, None] + n1 * np.arange(pallas_fft.LANES)[None, :]).reshape(n)
@@ -408,7 +415,7 @@ def test_merge_precision_knob(rng):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("n", [32, 64, 96, 128, 160, 240])
+@pytest.mark.parametrize("n", [32, 64, 96, 128, 160, 240, 256, 320, 480])
 def test_small_n_cfft_vs_numpy(n, rng):
     assert cf.engine_for(n, cf.FFT_COMPLEX) == "pallas"
     z = rand_complex(rng, (7, n))  # odd batch exercises the g-packing pad
@@ -419,7 +426,7 @@ def test_small_n_cfft_vs_numpy(n, rng):
     np.testing.assert_allclose(back, z, atol=tol(n), rtol=0)
 
 
-@pytest.mark.parametrize("n", [32, 64, 96, 128, 192])
+@pytest.mark.parametrize("n", [32, 64, 96, 128, 192, 256, 480])
 def test_small_n_rfft_packed_and_canonical(n, rng):
     assert cf.engine_for(n, cf.FFT_REAL) == "pallas"
     x = rng.standard_normal((5, n)).astype(np.float32)

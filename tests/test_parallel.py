@@ -219,7 +219,10 @@ def test_sharded_rfft_convolve_matches_numpy(rng):
         * np.fft.rfft(h.astype(np.float64), axis=-1),
         axis=-1,
     )
-    assert np.abs(y - ref).max() < 1e-3
+    # conv outputs scale ~sqrt(N)*|x|*|h|; bound relative to the reference
+    # magnitude (a fixed absolute 1e-3 left <1.3x margin and flaked with
+    # rng draw order)
+    assert np.abs(y - ref).max() < 4e-6 * np.abs(ref).max()
 
 
 def test_sharded_fft_batched_matches_single(rng):
