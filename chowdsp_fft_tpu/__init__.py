@@ -65,4 +65,4 @@ try:  # pragma: no cover - exercised implicitly
 except Exception:  # noqa: BLE001
     _pallas_fft = None
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
