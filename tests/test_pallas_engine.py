@@ -381,6 +381,36 @@ def test_dispatch_boundary_sizes(n, batch, rng):
     assert np.abs(back - x).max() < tol(n)
 
 
+def test_dispatch_matrix_covers_every_valid_size():
+    """Every valid size up to 2^20 dispatches to the metal engine through
+    one of its three regimes (direct matmul / Stockham kernel / composite)
+    — full parity with the reference's size domain, which has a single
+    SIMD path for all of it (impl_common.hpp:216-225). Spot-checks the
+    regime boundaries."""
+    from chowdsp_fft_tpu.ops.pallas_fft import (
+        _MAX_N,
+        _small_dispatch,
+        _is_smooth_multiple,
+    )
+
+    for n in range(8, 4097):
+        if not cf.is_valid_size(n, cf.FFT_COMPLEX):
+            continue
+        expected = "pallas" if (
+            _small_dispatch(n) or _is_smooth_multiple(n)
+        ) else "stockham"
+        assert cf.engine_for(n, cf.FFT_COMPLEX) == expected, n
+    # regime boundaries
+    assert cf.engine_for(256, cf.FFT_COMPLEX) == "pallas"  # direct
+    assert cf.engine_for(384, cf.FFT_COMPLEX) == "pallas"  # kernel
+    assert cf.engine_for(480, cf.FFT_COMPLEX) == "pallas"  # direct fallback
+    assert cf.engine_for(576, cf.FFT_COMPLEX) == "stockham"  # gap size
+    assert cf.engine_for(640, cf.FFT_COMPLEX) == "pallas"  # 5*128 kernel
+    assert cf.engine_for(_MAX_N, cf.FFT_COMPLEX) == "pallas"  # kernel cap
+    assert cf.engine_for(1 << 18, cf.FFT_REAL) == "pallas"  # composite
+    assert cf.engine_for(3 << 18, cf.FFT_REAL) == "pallas"  # smooth composite
+
+
 def test_merge_precision_knob(rng):
     """The bf16x3 merge mode is an explicit opt-in: looser than the
     reference bound but far tighter than naive bf16, and the context
