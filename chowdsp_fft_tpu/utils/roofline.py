@@ -21,13 +21,21 @@ class ChipSpec:
     name: str
     hbm_bytes_per_s: float
     bf16_flops: float  # peak MXU bf16 FLOP/s
-    f32_matmul_flops: float  # effective fp32 (multi-pass) MXU FLOP/s
+    f32_matmul_flops: float  # legacy MAC-proportional fp32 estimate (see note)
     vpu_flops: float  # fp32 vector FLOP/s
+    mxu_rows_per_cycle: float = 8.0  # operand rows the systolic array eats/cycle
+    mxu_clock_hz: float = 0.94e9
+    f32_passes: int = 6  # fp32-HIGHEST multi-pass emulation depth
 
 
-# TPU v5e (datasheet: 197 bf16 TFLOP/s, 819 GB/s HBM; fp32 matmul via
-# multi-pass ~1/6; VPU 8x128x4 ALUs at ~0.94 GHz; ICI ~45 GB/s per
-# direction per link on the 2D torus).
+# TPU v5e (datasheet: 197 bf16 TFLOP/s, 819 GB/s HBM; VPU 8x128x4 ALUs at
+# ~0.94 GHz; ICI ~45 GB/s per direction per link on the 2D torus).
+#
+# MXU cost model (validated on-chip, round 2 — benchmarks/ROOFLINE.md):
+# matmul time = rows x passes / mxu_rows_per_cycle / clock, INDEPENDENT of
+# output columns <= 128 and of K <= 128 (K > 128 adds ceil(K/128) passes).
+# The legacy f32_matmul_flops (MAC-proportional, 33 TF "effective") is kept
+# only for older scripts; fft_roofline below uses the pass model.
 V5E = ChipSpec(
     name="v5e",
     hbm_bytes_per_s=819e9,
@@ -61,21 +69,33 @@ def fft_roofline(
 
     Memory: one input read + one output write.
     Compute: butterfly flops on the VPU + the four-step merge matmul on
-    the MXU (8*N*lanes flops/transform at fp32 effective rate).
+    the MXU, costed by the validated PASS model (rows x passes at
+    mxu_rows_per_cycle, column-count-independent): the real forward's
+    column-packed merge is 2 fp32-HIGHEST matmuls, complex merges are 3
+    (Karatsuba).
     """
     if kind == "real":
         in_bytes = n * 4
         out_bytes = (n // 2 + 1) * 8
-        cn = n // 2
+        cn = n  # the fused real kernel runs the FULL-length four-step
+        num_matmuls = 2  # column-packed [Mr|Mi] / [-Mi|Mr]
     else:
         in_bytes = n * 8
         out_bytes = n * 8
         cn = n
+        num_matmuls = 3  # Karatsuba, full-width output
     t_mem = batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
 
     bf_flops = 2.5 * cn * max(1.0, math.log2(max(2, cn // merge_lanes))) * batch
-    mm_flops = 8.0 * cn * merge_lanes * batch  # 4 real matmuls (or 3 + adds)
-    t_comp = bf_flops / chip.vpu_flops + mm_flops / chip.f32_matmul_flops
+    merge_rows = batch * max(1, cn // merge_lanes)
+    t_merge = (
+        merge_rows
+        * num_matmuls
+        * chip.f32_passes
+        / chip.mxu_rows_per_cycle
+        / chip.mxu_clock_hz
+    )
+    t_comp = bf_flops / chip.vpu_flops + t_merge
 
     t = max(t_mem, t_comp)
     return Roofline(
