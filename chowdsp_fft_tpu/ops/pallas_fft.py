@@ -101,10 +101,6 @@ def _batch_tile(n: int, b: int) -> int:
     return tb
 
 
-def _is_pow2(n: int) -> bool:
-    return n > 0 and (n & (n - 1)) == 0
-
-
 def _is_smooth_multiple(n: int) -> bool:
     """N = n1 * 128 with n1 {2,3,5}-smooth — the single-kernel domain
     (mixed-radix Stockham stages mirror the reference's radix set,
