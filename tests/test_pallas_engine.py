@@ -411,6 +411,27 @@ def test_dispatch_matrix_covers_every_valid_size():
     assert cf.engine_for(3 << 18, cf.FFT_REAL) == "pallas"  # smooth composite
 
 
+def test_fuzz_random_sizes_and_batches(rng):
+    """Property fuzz across the size domain: random valid sizes x odd
+    batch shapes, auto engine — differential vs numpy f64 and unscaled
+    round trip. Catches regime-boundary regressions the parametrized
+    tests miss."""
+    valid = [n for n in range(8, 3000) if cf.is_valid_size(n, cf.FFT_REAL)]
+    picks = rng.choice(len(valid), size=10, replace=False)
+    for idx in picks:
+        n = valid[idx]
+        b = int(rng.integers(1, 7))
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        re, im = map(np.asarray, cf.rfft_packed(x))
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        assert np.abs(re[:, 0] - ref[:, 0].real).max() < tol(n), n
+        assert np.abs(im[:, 0] - ref[:, -1].real).max() < tol(n), n
+        if n > 2:
+            assert np.abs(re[:, 1:] - ref[:, 1 : n // 2].real).max() < tol(n), n
+        back = np.asarray(cf.irfft_packed(re, im)) / n
+        assert np.abs(back - x).max() < tol(n), n
+
+
 def test_merge_precision_knob(rng):
     """The bf16x3 merge mode is an explicit opt-in: looser than the
     reference bound but far tighter than naive bf16, and the context
