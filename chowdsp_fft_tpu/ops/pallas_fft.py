@@ -841,9 +841,12 @@ def _rbatch_tile(n: int, b: int) -> int:
     tiles amortize per-grid-step overhead at smaller N), capped at 256
     rows and by scoped VMEM."""
     b8 = -(-b // 8) * 8  # don't pad tiny batches up to a huge tile
-    # floor 16 rows: sub-16-row tiles at N >= 2^16 are per-op overhead
-    # bound (2^17 tb=8: 472us vs tb=16: 333us, +42% — NOTES.md round 2)
-    tb = max(16, (1 << 18) // n)
+    # Swept on v5e with the column-packed merge (NOTES.md round 2):
+    # tb*N ~ 2^19 elements wins at every kernel size — 2^12: 128 (125 vs
+    # 137us fwd), 2^13: 64 (+17%), 2^14: 32 (+52%), 2^15: 32 (+16%) — with
+    # a floor of 16 rows (sub-16-row tiles at N >= 2^16 are per-op
+    # overhead-bound: 2^17 tb=8 was +42% slower) and a 256-row cap.
+    tb = max(16, (1 << 19) // n)
     tb = max(8, min(256, tb, b8))
     return (tb // 8) * 8
 
