@@ -96,9 +96,14 @@ _VMEM_LIMIT = 100 * (1 << 20)
 
 
 def _batch_tile(n: int, b: int) -> int:
-    tb = max(8, min(64, _TILE_ELEMS // n))
-    tb = (tb // 8) * 8
-    return tb
+    """Complex-kernel batch tile: tb*N ~ 2^18 elements (half the real
+    kernel's law — 2x planes in flight), cap 64 (measured: 2^12 tb=64
+    +12% over 32; N=1024 32 == 64; sub-8 tiles at 2^16+ stay at 8 —
+    larger ones fail compile at 2^17). b-clamped so tiny batches don't
+    pad up to a full tile."""
+    b8 = -(-b // 8) * 8
+    tb = max(8, min(64, (1 << 18) // n, b8))
+    return (tb // 8) * 8
 
 
 def _is_smooth_multiple(n: int) -> bool:
