@@ -34,7 +34,6 @@ runtime's missing complex64 transfers.
 
 from __future__ import annotations
 
-import contextlib
 import functools
 
 import numpy as np
@@ -629,27 +628,52 @@ def _pallas_cfft_pair(
 # (/root/reference/test/test.cpp:9-14). "bf16x3" = manual two-way bf16
 # split, 3 single-pass matmuls per real product (~2x merge speedup,
 # absolute error ~1e-3 at N=4096 unit-variance input — OVER the reference
-# bound; opt-in for error-tolerant pipelines). Read at TRACE time: enter
-# the context before the first jit trace of the transform.
-_MERGE_PRECISION = "highest"
+# bound; opt-in for error-tolerant pipelines).
+#
+# The mode rides jax.default_matmul_precision — a config that IS in the
+# native jit cache key — so a jitted transform called under a different
+# mode MISSES the jit cache and retraces; a compiled "highest" kernel can
+# never be silently reused under "bf16x3" or vice versa. (Before this,
+# the mode was a plain module global read at trace time — a cache footgun
+# flagged in round 2. A library-private config state was tried first:
+# jax._src.config.enum_state(include_in_jit_key=True) is silently
+# ignored for states created after jaxlib snapshots its native jit-key
+# config set, so only a built-in config can carry the mode.)
+#
+# Mapping: ambient matmul precisions that already authorize bf16-level
+# MXU passes select the fast merge; everything f32-grade or stricter
+# (including None/default — the reference's accuracy bound is the
+# contract) selects the compliant 6-pass merge.
+_BF16_GRADE_PRECISIONS = frozenset(
+    ["bfloat16", "BF16_BF16_BF16", "BF16_BF16_F32", "BF16_BF16_F32_X3"]
+)
 
 
-@contextlib.contextmanager
+def _merge_mode() -> str:
+    val = jax._src.config.config._read("jax_default_matmul_precision")
+    return "bf16x3" if val in _BF16_GRADE_PRECISIONS else "highest"
+
+
 def merge_precision(mode: str):
     """Context manager selecting the MXU merge mode ("highest" | "bf16x3")
-    for kernels traced inside the context. The TPU analog of the
+    for kernels run/traced inside the context. The TPU analog of the
     reference's use_avx_if_available runtime flag
     (/root/reference/chowdsp_fft.h:92-96): an explicit speed/accuracy
-    trade the caller opts into, with the compliant mode as default."""
-    global _MERGE_PRECISION
+    trade the caller opts into, with the compliant mode as default.
+
+    Implemented as ``jax.default_matmul_precision('BF16_BF16_F32_X3')``
+    (resp. ``'highest'``), which participates in the jit cache key:
+    calling one jitted function under both modes compiles (and returns)
+    both variants instead of silently reusing a stale kernel. Side
+    effect, by design: other matmuls without an explicit ``precision=``
+    inside the context follow the same ambient precision. Conversely, a
+    caller already running under a bf16-grade
+    ``jax.default_matmul_precision`` gets the fast merge without this
+    wrapper."""
     if mode not in ("highest", "bf16x3"):
         raise ValueError(f"unknown merge precision {mode!r}")
-    prev = _MERGE_PRECISION
-    _MERGE_PRECISION = mode
-    try:
-        yield
-    finally:
-        _MERGE_PRECISION = prev
+    carrier = "BF16_BF16_F32_X3" if mode == "bf16x3" else "highest"
+    return jax.default_matmul_precision(carrier)
 
 
 def _dot_bf16x3(a, m):
@@ -661,12 +685,18 @@ def _dot_bf16x3(a, m):
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     m_hi = m.astype(jnp.bfloat16)
     m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    # precision pinned so the ambient default_matmul_precision (the mode
+    # carrier — see merge_precision) can't morph these bf16 passes.
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     return dot(a_hi, m_hi) + (dot(a_lo, m_hi) + dot(a_hi, m_lo))
 
 
 def _merge_dot(a, m):
-    if _MERGE_PRECISION == "bf16x3":
+    if _merge_mode() == "bf16x3":
         return _dot_bf16x3(a, m)
     return jnp.dot(
         a, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST

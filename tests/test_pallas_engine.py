@@ -447,9 +447,9 @@ def test_merge_precision_knob(rng):
 
     re_hi, _ = run()
     with pallas_fft.merge_precision("bf16x3"):
-        assert pallas_fft._MERGE_PRECISION == "bf16x3"
+        assert pallas_fft._merge_mode() == "bf16x3"
         re_lo, _ = run()
-    assert pallas_fft._MERGE_PRECISION == "highest"  # restored
+    assert pallas_fft._merge_mode() == "highest"  # restored
     err_hi = np.abs(re_hi[:, 1:] - ref[:, 1 : n // 2].real).max()
     err_lo = np.abs(re_lo[:, 1:] - ref[:, 1 : n // 2].real).max()
     assert err_hi < tol(n)
@@ -457,6 +457,31 @@ def test_merge_precision_knob(rng):
     with pytest.raises(ValueError, match="merge precision"):
         with pallas_fft.merge_precision("fp8"):
             pass
+
+
+def test_merge_precision_jit_cache_keyed(rng):
+    """Round-2 footgun regression: the merge mode participates in the jit
+    cache key, so ONE jitted function called under both modes retraces and
+    the outputs genuinely differ (a cached 'highest' kernel must not be
+    silently reused under 'bf16x3')."""
+    import jax
+
+    n = 1024
+    x = rng.standard_normal((4, n)).astype(np.float32)
+
+    @jax.jit
+    def fwd(v):
+        return pallas_fft.rfft_packed(v)[0]
+
+    re_hi_1 = np.asarray(fwd(x))  # traced+compiled under "highest"
+    with pallas_fft.merge_precision("bf16x3"):
+        re_lo = np.asarray(fwd(x))  # must retrace, not reuse the cache
+    re_hi_2 = np.asarray(fwd(x))  # back to the compliant variant
+
+    assert np.abs(re_hi_1 - re_lo).max() > 1e-6, (
+        "bf16x3 call inside an existing jit reused the 'highest' kernel"
+    )
+    np.testing.assert_array_equal(re_hi_1, re_hi_2)
 
 
 # ---------------------------------------------------------------------------
