@@ -1521,7 +1521,330 @@ def _large_twiddle(n: int, forward: bool, folded: bool = True):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Composite v2 (round 3): the whole two-level transform in TWO column-blocked
+# kernels per direction — 2 HBM round trips instead of the v1 chain's 7
+# (transpose + kernel + digit-transpose per level + final transpose). The
+# reference's analog is that its SIMD sub-FFT merge permutation is likewise
+# never materialized as a separate pass (pffft internal layout, SURVEY.md
+# section 2 row 9).
+#
+#   forward:  K1 reads (B, A, TC) tiles straight from the natural (B, N) =
+#             (B, A, C) input, FFTs length A along the middle axis, flattens
+#             to ordered bins in-kernel and writes (B, TC, A) tiles of the
+#             (B, C, A) intermediate. K2 reads (B, C, TA) tiles, applies the
+#             four-step twiddle W_N^{-qk} from a (C, A) table slab, FFTs
+#             length C along the middle axis, and writes ordered (B, C, TA)
+#             tiles — the output IS the natural-order (B, N) spectrum
+#             (bin q + A*t at flat position t*A + q).
+#   backward: exact mirror — K2rev consumes ordered C bins (in-kernel
+#             inverse flatten + the reverse merge->twiddle->stages pipeline),
+#             un-twiddles, K1rev consumes ordered A bins and emits natural
+#             time order.
+#
+# The per-level in-kernel relayouts ride VMEM/register moves; HBM sees each
+# element exactly twice per direction. Tiles are gated by VMEM (fall back to
+# the v1 chain when a block cannot fit).
+# ---------------------------------------------------------------------------
+
+
+def _rev_pipeline(vre, vim, mtw_re, mtw_im, stw_re, stw_im, dft_re, dft_im, radices, n1):
+    """Shared inverse pipeline on unordered (n1, rows, 128) planes:
+    merge -> four-step twiddle -> backward Stockham (mirrors _fft_kernel's
+    reverse_order branch)."""
+    rows = vre.shape[1]
+    yr, yi = _merge_karatsuba(vre, vim, dft_re, dft_im, n1 * rows)
+    yr = yr.reshape(n1, rows, LANES)
+    yi = yi.reshape(n1, rows, LANES)
+    mr = mtw_re[:, None, :]
+    mi = mtw_im[:, None, :]
+    yr, yi = yr * mr - yi * mi, yr * mi + yi * mr
+    return _stockham_rows(yr, yi, radices, stw_re, stw_im, False)
+
+
+def _unflatten_bins(v, n1):
+    """Ordered (bins, rows) -> unordered (n1, rows, 128): inverse of the
+    forward flatten chain (leading-dim split is a layout no-op; the final
+    swap is the minor 2D relayout)."""
+    rows = v.shape[1]
+    v = v.reshape(LANES, n1, rows)
+    v = jnp.swapaxes(v, 0, 1)  # (n1, 128, rows)
+    return jnp.swapaxes(v, 1, 2)  # (n1, rows, 128)
+
+
+def _flatten_bins(v, n1):
+    """Unordered (n1, rows, 128) -> ordered (bins, rows): minor 2D transpose
+    -> major swap -> leading collapse (the real kernel's flatten chain,
+    full-width)."""
+    rows = v.shape[1]
+    v = jnp.swapaxes(v, 1, 2)  # (n1, 128, rows)
+    v = jnp.swapaxes(v, 0, 1)  # (128, n1, rows)
+    return v.reshape(n1 * LANES, rows)
+
+
+def _cfft_v2_l1_kernel(
+    xre_ref, xim_ref, stw_re_ref, stw_im_ref, dft_re_ref, dft_im_ref,
+    yre_ref, yim_ref, *, n1: int, radices: tuple[int, ...],
+):
+    """Forward level 1: (B, A, TC) tile -> ordered length-A FFT of every
+    stride-C subsequence, emitted minor-transposed as (B, TC, A)."""
+    bb, _, tc = xre_ref.shape
+    rows = bb * tc
+
+    def load(ref):
+        v = jnp.swapaxes(ref[...].reshape(bb, n1, LANES, tc), 0, 1)
+        return jnp.swapaxes(v, 2, 3).reshape(n1, rows, LANES)
+
+    vre, vim = load(xre_ref), load(xim_ref)
+    vre, vim = _stockham_rows(vre, vim, radices, stw_re_ref[...], stw_im_ref[...], True)
+    yr, yi = _merge_karatsuba(vre, vim, dft_re_ref[...], dft_im_ref[...], n1 * rows)
+
+    def out(j):
+        flat = _flatten_bins(j.reshape(n1, rows, LANES), n1)  # (A, rows)
+        return jnp.swapaxes(flat, 0, 1).reshape(bb, tc, n1 * LANES)
+
+    yre_ref[...] = out(yr)
+    yim_ref[...] = out(yi)
+
+
+def _cfft_v2_l2_kernel(
+    xre_ref, xim_ref, twr_ref, twi_ref, stw_re_ref, stw_im_ref,
+    dft_re_ref, dft_im_ref, yre_ref, yim_ref, *, n1: int, radices: tuple[int, ...],
+):
+    """Forward level 2: (B, C, TA) tile of the intermediate -> four-step
+    twiddle (slab (C, TA)) -> ordered length-C FFT along axis 1, in place."""
+    bb, _, ta = xre_ref.shape
+    rows = bb * ta
+    twr = twr_ref[...][None]
+    twi = twi_ref[...][None]
+    xr = xre_ref[...]
+    xi = xim_ref[...]
+    ar = xr * twr - xi * twi
+    ai = xr * twi + xi * twr
+
+    def relayout(v):
+        v = jnp.swapaxes(v.reshape(bb, n1, LANES, ta), 0, 1)
+        return jnp.swapaxes(v, 2, 3).reshape(n1, rows, LANES)
+
+    vre, vim = relayout(ar), relayout(ai)
+    vre, vim = _stockham_rows(vre, vim, radices, stw_re_ref[...], stw_im_ref[...], True)
+    yr, yi = _merge_karatsuba(vre, vim, dft_re_ref[...], dft_im_ref[...], n1 * rows)
+
+    def out(j):
+        flat = _flatten_bins(j.reshape(n1, rows, LANES), n1)  # (C, rows)
+        return jnp.swapaxes(flat.reshape(n1 * LANES, bb, ta), 0, 1)  # (b, C, ta)
+
+    yre_ref[...] = out(yr)
+    yim_ref[...] = out(yi)
+
+
+def _cfft_v2_l2_rev_kernel(
+    xre_ref, xim_ref, twr_ref, twi_ref, stw_re_ref, stw_im_ref,
+    mtw_re_ref, mtw_im_ref, dft_re_ref, dft_im_ref, yre_ref, yim_ref,
+    *, n1: int, radices: tuple[int, ...],
+):
+    """Backward level 2: (B, C, TA) natural-order spectrum tile -> inverse
+    length-C FFT along axis 1 (consuming ordered bins) -> un-twiddle by the
+    conjugate slab -> (B, C, TA) time-order tile."""
+    bb, _, ta = xre_ref.shape
+    rows = bb * ta
+
+    def load(ref):
+        v = jnp.swapaxes(ref[...], 0, 1).reshape(n1 * LANES, rows)  # (C, rows)
+        return _unflatten_bins(v, n1)
+
+    vre, vim = load(xre_ref), load(xim_ref)
+    vre, vim = _rev_pipeline(
+        vre, vim, mtw_re_ref[...], mtw_im_ref[...], stw_re_ref[...],
+        stw_im_ref[...], dft_re_ref[...], dft_im_ref[...], radices, n1,
+    )
+
+    def out(v):  # (n1, rows, 128) time -> (b, C, ta)
+        v = v.reshape(n1, bb, ta, LANES)
+        v = jnp.swapaxes(v, 2, 3)  # (n1, b, 128, ta)
+        v = jnp.swapaxes(v, 0, 1)  # (b, n1, 128, ta)
+        return v.reshape(bb, n1 * LANES, ta)
+
+    ur, ui = out(vre), out(vim)
+    twr = twr_ref[...][None]
+    twi = twi_ref[...][None]
+    yre_ref[...] = ur * twr - ui * twi
+    yim_ref[...] = ur * twi + ui * twr
+
+
+def _cfft_v2_l1_rev_kernel(
+    xre_ref, xim_ref, stw_re_ref, stw_im_ref, mtw_re_ref, mtw_im_ref,
+    dft_re_ref, dft_im_ref, yre_ref, yim_ref, *, n1: int, radices: tuple[int, ...],
+):
+    """Backward level 1: (B, TC, A) tile (ordered A bins) -> inverse
+    length-A FFT -> natural time, emitted minor-transposed as (B, A, TC)."""
+    bb, tc, _ = xre_ref.shape
+    rows = bb * tc
+
+    def load(ref):
+        v = jnp.swapaxes(ref[...].reshape(rows, n1 * LANES), 0, 1)  # (A, rows)
+        return _unflatten_bins(v, n1)
+
+    vre, vim = load(xre_ref), load(xim_ref)
+    vre, vim = _rev_pipeline(
+        vre, vim, mtw_re_ref[...], mtw_im_ref[...], stw_re_ref[...],
+        stw_im_ref[...], dft_re_ref[...], dft_im_ref[...], radices, n1,
+    )
+
+    def out(v):  # (n1, rows, 128) time -> (b, A, tc)
+        v = v.reshape(n1, bb, tc, LANES)
+        v = jnp.swapaxes(v, 2, 3)  # (n1, b, 128, tc)
+        v = jnp.swapaxes(v, 0, 1)  # (b, n1, 128, tc)
+        return v.reshape(bb, n1 * LANES, tc)
+
+    yre_ref[...] = out(vre)
+    yim_ref[...] = out(vim)
+
+
+_V2_BLOCK_BYTES = 8 << 20  # per-plane input-block cap (VMEM gate)
+
+
+def _v2_tile(b: int, mid: int, minor_len: int) -> int:
+    """Minor tile for a (b, mid, t) block: multiple of 128, VMEM-gated.
+    Returns 0 when no tile fits (driver falls back to the v1 chain)."""
+    for t in (256, 128):
+        if minor_len % t == 0 and b * mid * t * 4 <= _V2_BLOCK_BYTES:
+            return t
+    return 0
+
+
+def _v2_supported(n: int, b: int) -> bool:
+    try:
+        a, c = _split_large(n)
+    except InvalidSizeError:
+        return False
+    return _v2_tile(b, a, c) > 0 and _v2_tile(b, c, a) > 0
+
+
+def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_idx, out_shape):
+    """Shared pallas_call driver for the composite-v2 kernels: 1-D grid over
+    minor tiles (a 2-D grid with leading-1 blocks costs 199s of Mosaic
+    compile time — NOTES.md round 2), tables replicated, twiddle slabs
+    sliced by the grid index via their own index maps."""
+    n_elems = int(np.prod(out_shape[0]))
+    specs = [pl.BlockSpec(in_block, in_idx, memory_space=pltpu.VMEM) for _ in inputs]
+    for t_arr, t_block, t_idx in tables:
+        specs.append(pl.BlockSpec(t_block, t_idx, memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kern,
+        grid=(grid_steps,),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec(out_block, out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(out_block, out_idx, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(out_shape[0], jnp.float32),
+            jax.ShapeDtypeStruct(out_shape[0], jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n_elems,
+            bytes_accessed=4 * 4 * n_elems,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(*inputs, *[jnp.asarray(t_arr) for t_arr, _, _ in tables])
+
+
+def _cfft_composite_v2(xre, xim, n, forward):
+    """Two-kernel composite (natural order in, natural order out — the
+    composite's 'unordered' layout is the ordered one, a per-plan layout
+    choice as in the reference, where SSE and AVX internal layouts also
+    differ)."""
+    a, c = _split_large(n)
+    b = xre.shape[0]
+    n1a, n1c = a // LANES, c // LANES
+    tc = _v2_tile(b, a, c)
+    ta = _v2_tile(b, c, a)
+
+    def table(arr):
+        shape = arr.shape
+        zeros = (0,) * len(shape)
+        return (arr, shape, lambda k, z=zeros: z)
+
+    if forward:
+        rad_a, (stwa_re, stwa_im), (dfta_re, dfta_im) = _tables_fwd_folded(a)
+        rad_c, (stwc_re, stwc_im), (dftc_re, dftc_im) = _tables_fwd_folded(c)
+        twr, twi = _large_twiddle(n, True, folded=False)  # (C, A)
+        k1 = functools.partial(_cfft_v2_l1_kernel, n1=n1a, radices=rad_a)
+        mid_r, mid_i = _v2_call(
+            k1,
+            [xre.reshape(b, a, c), xim.reshape(b, a, c)],
+            [table(stwa_re), table(stwa_im), table(dfta_re), table(dfta_im)],
+            c // tc,
+            (b, a, tc), lambda k: (0, 0, k),
+            (b, tc, a), lambda k: (0, k, 0),
+            [(b, c, a)],
+        )
+        k2 = functools.partial(_cfft_v2_l2_kernel, n1=n1c, radices=rad_c)
+        yr, yi = _v2_call(
+            k2,
+            [mid_r, mid_i],
+            [
+                (twr, (c, ta), lambda k: (0, k)),
+                (twi, (c, ta), lambda k: (0, k)),
+                table(stwc_re), table(stwc_im), table(dftc_re), table(dftc_im),
+            ],
+            a // ta,
+            (b, c, ta), lambda k: (0, 0, k),
+            (b, c, ta), lambda k: (0, 0, k),
+            [(b, c, a)],
+        )
+        return yr.reshape(b, n), yi.reshape(b, n)
+
+    rad_c, (stwc_re, stwc_im), (mtwc_re, mtwc_im), (dftc_re, dftc_im) = _tables(c, False)
+    rad_a, (stwa_re, stwa_im), (mtwa_re, mtwa_im), (dfta_re, dfta_im) = _tables(a, False)
+    twr, twi = _large_twiddle(n, False, folded=False)  # conj slab
+    k2r = functools.partial(_cfft_v2_l2_rev_kernel, n1=n1c, radices=rad_c)
+    mid_r, mid_i = _v2_call(
+        k2r,
+        [xre.reshape(b, c, a), xim.reshape(b, c, a)],
+        [
+            (twr, (c, ta), lambda k: (0, k)),
+            (twi, (c, ta), lambda k: (0, k)),
+            table(stwc_re), table(stwc_im), table(mtwc_re), table(mtwc_im),
+            table(dftc_re), table(dftc_im),
+        ],
+        a // ta,
+        (b, c, ta), lambda k: (0, 0, k),
+        (b, c, ta), lambda k: (0, 0, k),
+        [(b, c, a)],
+    )
+    k1r = functools.partial(_cfft_v2_l1_rev_kernel, n1=n1a, radices=rad_a)
+    yr, yi = _v2_call(
+        k1r,
+        [mid_r, mid_i],
+        [
+            table(stwa_re), table(stwa_im), table(mtwa_re), table(mtwa_im),
+            table(dfta_re), table(dfta_im),
+        ],
+        c // tc,
+        (b, tc, a), lambda k: (0, k, 0),
+        (b, a, tc), lambda k: (0, 0, k),
+        [(b, a, c)],
+    )
+    return yr.reshape(b, n), yi.reshape(b, n)
+
+
 def _cfft_pair_large(xre, xim, n, forward, ordered):
+    if _v2_supported(n, xre.shape[0]):
+        # v2 is natural-order in both directions; a composite plan's
+        # "unordered" layout is thus the ordered one (legal per-plan
+        # choice), so the flag is moot here.
+        return _cfft_composite_v2(xre, xim, n, forward)
+    return _cfft_pair_large_v1(xre, xim, n, forward, ordered)
+
+
+def _cfft_pair_large_v1(xre, xim, n, forward, ordered):
     a, c = _split_large(n)
     b = xre.shape[0]
     # Ordered path: ordered sub-FFTs (each reorder is a cheap per-factor
