@@ -819,19 +819,36 @@ def _irfft_kernel(
     analytically and never touches HBM.
     """
     tb = yre_ref.shape[0]
+    xr = _irfft_core(
+        yre_ref[...], yim_ref[...],
+        stw_re_ref[...], stw_im_ref[...], mtw_re_ref[...], mtw_im_ref[...],
+        ms_re_ref[...], ms_im_ref[...], d_re_ref[...], d_im_ref[...],
+        c0_re_ref[...], c0_im_ref[...],
+        n1=n1, radices=radices, ordered=ordered,
+    )
+    x_ref[...] = jnp.swapaxes(xr, 0, 1).reshape(tb, n1 * LANES)
+
+
+def _irfft_core(
+    yre, yim, stw_re, stw_im, mtw_re, mtw_im, ms_re, ms_im,
+    d_re, d_im, c0_re, c0_im, *, n1: int, radices: tuple[int, ...], ordered: bool,
+):
+    """Shared body of the fused real inverse: packed planes (rows, N/2) ->
+    natural-time (n1, rows, 128) values (callers lay out the output)."""
+    tb = yre.shape[0]
     half = LANES // 2
 
-    def from_plane(p_ref):
+    def from_plane(p):
         # Mirror of the forward's flatten chain (see _rfft_kernel).
-        u = jnp.swapaxes(p_ref[...], 0, 1)  # (m, tb)
+        u = jnp.swapaxes(p, 0, 1)  # (m, tb)
         if ordered:
             u = jnp.swapaxes(u.reshape(half, n1, tb), 0, 1)  # (n1, 64, tb)
         else:
             u = u.reshape(n1, half, tb)
         return jnp.swapaxes(u, 1, 2)  # (n1, tb, 64)
 
-    vre = from_plane(yre_ref)
-    vim = from_plane(yim_ref)
+    vre = from_plane(yre)
+    vim = from_plane(yim)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tb, half), 2)
     nyq = vim[0:1, :, 0:1]  # (1, TB, 1) — X[N/2], stashed in im[0]
@@ -850,23 +867,21 @@ def _irfft_kernel(
     # One stacked K=128 Karatsuba: [v | conj(Pv)] @ [Mt; Mbf].
     ar = jnp.concatenate([vre, perm0(vre)], axis=2)
     ai = jnp.concatenate([vim, -perm0(vim)], axis=2)
-    ur, ui = _merge_karatsuba(ar, ai, ms_re_ref[...], ms_im_ref[...], rows, k=LANES)
+    ur, ui = _merge_karatsuba(ar, ai, ms_re, ms_im, rows, k=LANES)
     ur = ur.reshape(n1, tb, LANES)
     ui = ui.reshape(n1, tb, LANES)
     # Row-0 fix: generic extension row -> lane-shifted row + Nyquist column.
-    fr, fi = _merge_karatsuba(
-        vre[0:1], -vim[0:1], d_re_ref[...], d_im_ref[...], tb, k=half
-    )
-    fr = fr.reshape(1, tb, LANES) + nyq * c0_re_ref[...][None]
-    fi = fi.reshape(1, tb, LANES) + nyq * c0_im_ref[...][None]
+    fr, fi = _merge_karatsuba(vre[0:1], -vim[0:1], d_re, d_im, tb, k=half)
+    fr = fr.reshape(1, tb, LANES) + nyq * c0_re[None]
+    fi = fi.reshape(1, tb, LANES) + nyq * c0_im[None]
     ur = jnp.concatenate([ur[0:1] + fr, ur[1:]], axis=0)
     ui = jnp.concatenate([ui[0:1] + fi, ui[1:]], axis=0)
 
-    mtw_re = mtw_re_ref[...][:, None, :]
-    mtw_im = mtw_im_ref[...][:, None, :]
+    mtw_re = mtw_re[:, None, :]
+    mtw_im = mtw_im[:, None, :]
     ur, ui = ur * mtw_re - ui * mtw_im, ur * mtw_im + ui * mtw_re
-    xr, _ = _stockham_rows(ur, ui, radices, stw_re_ref[...], stw_im_ref[...], False)
-    x_ref[...] = jnp.swapaxes(xr, 0, 1).reshape(tb, n1 * LANES)
+    xr, _ = _stockham_rows(ur, ui, radices, stw_re, stw_im, False)
+    return xr
 
 
 def _rbatch_tile(n: int, b: int) -> int:
@@ -1159,6 +1174,86 @@ def _rfft_packed_cols_bwd(a, _res, ct):
 
 
 _rfft_packed_cols.defvjp(_rfft_packed_cols_fwd, _rfft_packed_cols_bwd)
+
+
+def _irfft_cols_kernel(
+    yre_ref, yim_ref, stw_re_ref, stw_im_ref, mtw_re_ref, mtw_im_ref,
+    ms_re_ref, ms_im_ref, d_re_ref, d_im_ref, c0_re_ref, c0_im_ref, x_ref,
+    *, n1: int, radices: tuple[int, ...],
+):
+    """Column-blocked fused real inverse for the composite's level 1:
+    (B, TC, A/2) packed-plane tiles of the (B, C, A/2) spectral grid ->
+    (B, A, TC) natural-time tiles of the (B, A, C) output (the final
+    transpose happens as an in-VMEM relayout, not an HBM pass)."""
+    bb, tc, m = yre_ref.shape
+    rows = bb * tc
+    xr = _irfft_core(
+        yre_ref[...].reshape(rows, m), yim_ref[...].reshape(rows, m),
+        stw_re_ref[...], stw_im_ref[...], mtw_re_ref[...], mtw_im_ref[...],
+        ms_re_ref[...], ms_im_ref[...], d_re_ref[...], d_im_ref[...],
+        c0_re_ref[...], c0_im_ref[...],
+        n1=n1, radices=radices, ordered=True,
+    )
+    v = xr.reshape(n1, bb, tc, LANES)
+    v = jnp.swapaxes(v, 2, 3)  # (n1, b, 128, tc)
+    v = jnp.swapaxes(v, 0, 1)  # (b, n1, 128, tc)
+    x_ref[...] = v.reshape(bb, n1 * LANES, tc)
+
+
+def _irfft_packed_cols_impl(yre: jax.Array, yim: jax.Array, a: int) -> jax.Array:
+    """(B, C, A/2) packed planes (length-A spectra down axis 2, one per
+    (batch, stride-C column)) -> (B, A, C) natural-time real output."""
+    b, c, m = yre.shape
+    n1 = a // LANES
+    radices, (stw_re, stw_im), (mtw_re, mtw_im), ms, d, c0 = _rifft_tables(a)
+    tc = _v2_tile(b, a, c)
+    assert tc > 0
+    num_stages = stw_re.shape[0]
+    half = LANES // 2
+
+    kern = functools.partial(_irfft_cols_kernel, n1=n1, radices=radices)
+
+    def table(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
+
+    (x,) = pl.pallas_call(
+        kern,
+        grid=(c // tc,),
+        in_specs=[
+            pl.BlockSpec((b, tc, m), lambda k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, m), lambda k: (0, k, 0), memory_space=pltpu.VMEM),
+            table((num_stages, n1, LANES)),
+            table((num_stages, n1, LANES)),
+            table((n1, LANES)),
+            table((n1, LANES)),
+            table((LANES, LANES)),
+            table((LANES, LANES)),
+            table((half, LANES)),
+            table((half, LANES)),
+            table((1, LANES)),
+            table((1, LANES)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, a, tc), lambda k: (0, 0, k), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, a, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * c * n1 * LANES * LANES
+            + int(2.5 * b * c * a * max(1, np.log2(max(2, n1)))) * 2,
+            bytes_accessed=4 * (2 * b * c * a),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(yre, jnp.float32), jnp.asarray(yim, jnp.float32),
+        stw_re, stw_im, mtw_re, mtw_im, ms[0], ms[1], d[0], d[1], c0[0], c0[1],
+    )
+    return x
 
 
 def _rfft_packed_joint(x: jax.Array, n: int, ordered: bool = True) -> jax.Array:
@@ -2058,13 +2153,249 @@ def _direct_real_tables(n: int):
     return a, c, tw, nyt
 
 
+# ---------------------------------------------------------------------------
+# Real composite v2 (round 3): same two-kernels-per-direction structure as
+# the complex composite v2. Forward: the column-blocked fused real kernel
+# (level 1) -> _cfft_v2_l2_kernel with the W_N^{-k1 c} twiddle as its slab
+# (level 2, ordered C bins in place) -> Hermitian assembly. The DC and
+# Nyquist lines (column 0 of the packed grid — the only column needing the
+# half-bin Nyquist modulation before its C-FFT) are handled as two tiny
+# XLA-level length-C transforms; the kernel's column-0 output is ignored.
+# Inverse mirrors it: disassembly -> _cfft_v2_l2_rev_kernel (conj slab) ->
+# column-blocked fused real inverse emitting natural time. ~3 HBM round
+# trips per direction vs the v1 chain's ~6.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _rdc_l2_twiddle(n: int, forward: bool):
+    """(C, A/2) level-2 twiddle W_N^{sgn k1 c} for k1 in [0, A/2) — column 0
+    is identically (1, 0), so the DC/Nyquist column rides the kernel
+    untouched (and unused)."""
+    a, c = _split_large(n)
+    sgn = -1.0 if forward else 1.0
+    cc = np.arange(c, dtype=np.float64)[:, None]
+    k1 = np.arange(a // 2, dtype=np.float64)[None, :]
+    ang = sgn * 2.0 * np.pi * (cc * k1) / float(n)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _rdc_v2_supported(n: int, b: int) -> bool:
+    try:
+        a, c = _split_large(n)
+    except InvalidSizeError:
+        return False
+    if (a // 2) % LANES:
+        return False
+    return (
+        _cols_supported(b, a, c)
+        and _v2_tile(b, c, a // 2) > 0
+        and _v2_tile(b, a, c) > 0
+    )
+
+
+def _v2_table(arr):
+    shape = arr.shape
+    zeros = (0,) * len(shape)
+    return (arr, shape, lambda k, z=zeros: z)
+
+
+def _rfft_direct_composite_v2(xf, n):
+    a, c = _split_large(n)
+    b = xf.shape[0]
+    half_a = a // 2
+    n1c = c // LANES
+    c2 = c // 2
+    _, _, _, (nytr, nyti) = _direct_real_tables(n)
+
+    # Level 1: column-blocked fused real rfft -> (B, C, A/2) packed planes.
+    pre, pim = _rfft_packed_cols_impl(xf.reshape(b, a, c), a)
+
+    # DC / Nyquist lines from column 0 (DC real in re, Nyquist real in im).
+    dcrow = pre[:, :, 0]
+    nyrow = pim[:, :, 0]
+    lin_re = jnp.concatenate([dcrow, nyrow * jnp.asarray(nytr)], axis=0)
+    lin_im = jnp.concatenate([jnp.zeros_like(dcrow), nyrow * jnp.asarray(nyti)], axis=0)
+    lr, li = _cfft_pair(lin_re, lin_im, c, FFT_FORWARD, True)
+    g0r, g0i = lr[:b], li[:b]
+    gnyr, gnyi = lr[b:], li[b:]
+
+    # Level 2: ordered C-FFTs down the columns, twiddle in the kernel slab.
+    rad_c, (stwc_re, stwc_im), (dftc_re, dftc_im) = _tables_fwd_folded(c)
+    twr, twi = _rdc_l2_twiddle(n, True)
+    ta2 = _v2_tile(b, c, half_a)
+    k2 = functools.partial(_cfft_v2_l2_kernel, n1=n1c, radices=rad_c)
+    gr, gi = _v2_call(
+        k2,
+        [pre, pim],
+        [
+            (twr, (c, ta2), lambda k: (0, k)),
+            (twi, (c, ta2), lambda k: (0, k)),
+            _v2_table(stwc_re), _v2_table(stwc_im),
+            _v2_table(dftc_re), _v2_table(dftc_im),
+        ],
+        half_a // ta2,
+        (b, c, ta2), lambda k: (0, 0, k),
+        (b, c, ta2), lambda k: (0, 0, k),
+        [(b, c, half_a)],
+    )
+
+    # Hermitian assembly (same formulas as v1, already in (B, C, ...) layout).
+    first_r = jnp.concatenate([g0r[:, :c2, None], gr[:, :c2, 1:], gnyr[:, :c2, None]], axis=2)
+    first_i = jnp.concatenate([g0i[:, :c2, None], gi[:, :c2, 1:], gnyi[:, :c2, None]], axis=2)
+    sec_r = jnp.flip(jnp.flip(gr[:, c2:, 1:], axis=1), axis=2)
+    sec_i = -jnp.flip(jnp.flip(gi[:, c2:, 1:], axis=1), axis=2)
+    out_r = jnp.concatenate([first_r, sec_r], axis=2).reshape(b, n // 2)
+    out_i = jnp.concatenate([first_i, sec_i], axis=2).reshape(b, n // 2)
+    nyq = g0r[:, c2][:, None]  # global Nyquist X[N/2] = X[0 + A*C/2] = G_dc[C/2], real
+    col = jax.lax.broadcasted_iota(jnp.int32, out_i.shape, 1)
+    out_i = jnp.where(col == 0, nyq, out_i)
+    return out_r, out_i
+
+
+def _irfft_direct_composite_v2(rf, if_, n):
+    a, c = _split_large(n)
+    b = rf.shape[0]
+    half_a = a // 2
+    n1c = c // LANES
+    c2 = c // 2
+    _, _, _, (nytr, nyti) = _direct_real_tables(n)
+
+    nyq = if_[:, :1]  # X[N/2]
+    col = jax.lax.broadcasted_iota(jnp.int32, if_.shape, 1)
+    if_ = jnp.where(col == 0, 0.0, if_)
+    pr = rf.reshape(b, c2, a)
+    pi = if_.reshape(b, c2, a)
+
+    # Rebuild the level-2 spectral grid G (B, C, A/2) + the Nyquist line
+    # (see the v1 docstring for the Hermitian bookkeeping; identical math).
+    mid1_r = pr[:, :, 1:half_a]
+    mid1_i = pi[:, :, 1:half_a]
+    mid2_r = jnp.flip(jnp.flip(pr[:, :, half_a + 1 :], axis=1), axis=2)
+    mid2_i = -jnp.flip(jnp.flip(pi[:, :, half_a + 1 :], axis=1), axis=2)
+    mids_r = jnp.concatenate([mid1_r, mid2_r], axis=1)  # (B, C, A/2-1)
+    mids_i = jnp.concatenate([mid1_i, mid2_i], axis=1)
+    # column 0 (DC line): direct rows then conj-flipped rows with the
+    # packed global Nyquist at k2 = C/2.
+    col0_r = jnp.concatenate(
+        [pr[:, :, 0], jnp.concatenate([nyq, jnp.flip(pr[:, 1:, 0], axis=1)], axis=1)],
+        axis=1,
+    )  # (B, C)
+    col0_i = jnp.concatenate(
+        [pi[:, :, 0], jnp.concatenate([jnp.zeros_like(nyq), -jnp.flip(pi[:, 1:, 0], axis=1)], axis=1)],
+        axis=1,
+    )
+    # Nyquist line (column A/2): direct rows then conj-flipped rows.
+    ny_r = jnp.concatenate([pr[:, :, half_a], jnp.flip(pr[:, :, half_a], axis=1)], axis=1)
+    ny_i = jnp.concatenate([pi[:, :, half_a], -jnp.flip(pi[:, :, half_a], axis=1)], axis=1)
+
+    # Tiny line transforms: ny_c = the level-1 Nyquist row in c-space
+    # (backward C-FFT + conj half-bin modulation, v1's formula), then
+    # F = fwd(ny_c)/C so the level-2 kernel's column-0 inverse emits
+    # exactly (DC_c, ny_c) — no post-kernel masked rewrite pass.
+    ur, ui = _cfft_pair(ny_r, ny_i, c, FFT_BACKWARD, True)
+    ny_c = ur * jnp.asarray(nytr) + ui * jnp.asarray(nyti)  # (B, C), real
+    fr, fi = _cfft_pair(ny_c / float(c), jnp.zeros_like(ny_c), c, FFT_FORWARD, True)
+    fed_r = col0_r - fi
+    fed_i = col0_i + fr
+    grid_re = jnp.concatenate([fed_r[:, :, None], mids_r], axis=2)  # (B, C, A/2)
+    grid_im = jnp.concatenate([fed_i[:, :, None], mids_i], axis=2)
+
+    # Level 2 inverse: backward C-FFTs down the columns + conj twiddle slab.
+    rad_c, (stwc_re, stwc_im), (mtwc_re, mtwc_im), (dftc_re, dftc_im) = _tables(c, False)
+    twr, twi = _rdc_l2_twiddle(n, False)
+    ta2 = _v2_tile(b, c, half_a)
+    k2r = functools.partial(_cfft_v2_l2_rev_kernel, n1=n1c, radices=rad_c)
+    pre, pim = _v2_call(
+        k2r,
+        [grid_re, grid_im],
+        [
+            (twr, (c, ta2), lambda k: (0, k)),
+            (twi, (c, ta2), lambda k: (0, k)),
+            _v2_table(stwc_re), _v2_table(stwc_im),
+            _v2_table(mtwc_re), _v2_table(mtwc_im),
+            _v2_table(dftc_re), _v2_table(dftc_im),
+        ],
+        half_a // ta2,
+        (b, c, ta2), lambda k: (0, 0, k),
+        (b, c, ta2), lambda k: (0, 0, k),
+        [(b, c, half_a)],
+    )
+
+    # Level 1: column-blocked fused real inverse -> (B, A, C) natural time.
+    x3 = _irfft_packed_cols_impl(pre, pim, a)
+    return x3.reshape(b, n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _rdc_fwd(xf, n):
+    """v2 real-composite forward with the exact packed-adjoint rule (the
+    same weighting identity as the single-kernel packed pair)."""
+    return _rfft_direct_composite_v2(xf, n)
+
+
+def _rdc_fwd_fwd(xf, n):
+    return _rfft_direct_composite_v2(xf, n), None
+
+
+def _rdc_fwd_bwd(n, _res, ct):
+    sre, sim = _halfspec_weight(ct[0], ct[1], n, 0.5)
+    return (_irfft_direct_composite_v2(sre, sim, n),)
+
+
+_rdc_fwd.defvjp(_rdc_fwd_fwd, _rdc_fwd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rdc_inv(yre, yim, n):
+    return _irfft_direct_composite_v2(yre, yim, n)
+
+
+def _rdc_inv_fwd(yre, yim, n):
+    return _irfft_direct_composite_v2(yre, yim, n), None
+
+
+def _rdc_inv_bwd(n, _res, ct):
+    re, im = _rfft_direct_composite_v2(ct, n)
+    return _halfspec_weight(re, im, n, 2.0)
+
+
+_rdc_inv.defvjp(_rdc_inv_fwd, _rdc_inv_bwd)
+
+
 def _rfft_direct_composite(x):
     """Large-N real forward as a two-level DIRECT-real composite: the fused
     real kernel does level 1 (half the data volume of a complex level 1),
     level 2 runs only the A/2+1 Hermitian-independent columns. Replaces the
     batch-paired half-complex split on the forward side — that path's
     full-length complex transform plus reversal/combine passes measured
-    ~2x this one's traffic. Returns ORDERED packed planes (..., N/2)."""
+    ~2x this one's traffic. Returns ORDERED packed planes (..., N/2).
+
+    Dispatches to the two-kernel v2 when tiles fit (round 3); the v1 chain
+    remains as the fallback and cross-check."""
+    n = x.shape[-1]
+    xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
+    if _rdc_v2_supported(n, xf.shape[0]):
+        out_r, out_i = _rdc_fwd(xf, n)
+        m = n // 2
+        return out_r.reshape(*batch_shape, m), out_i.reshape(*batch_shape, m)
+    return _rfft_direct_composite_v1(x)
+
+
+def _irfft_direct_composite(yre, yim):
+    """Unscaled inverse of :func:`_rfft_direct_composite` (v2 two-kernel
+    path when supported, v1 fallback)."""
+    n = 2 * yre.shape[-1]
+    rf, batch_shape = _flatten_batch(yre.astype(jnp.float32))
+    if_, _ = _flatten_batch(yim.astype(jnp.float32))
+    if _rdc_v2_supported(n, rf.shape[0]):
+        return _rdc_inv(rf, if_, n).reshape(*batch_shape, n)
+    return _irfft_direct_composite_v1(yre, yim)
+
+
+def _rfft_direct_composite_v1(x):
+    """v1 chain (explicit transposes + standard kernels); the fallback for
+    shapes whose v2 tiles do not fit VMEM, and the numeric cross-check."""
     n = x.shape[-1]
     a, c, (twr, twi), (nytr, nyti) = _direct_real_tables(n)
     xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
@@ -2120,8 +2451,8 @@ def _rfft_direct_composite(x):
     return out_r.reshape(*batch_shape, m), out_i.reshape(*batch_shape, m)
 
 
-def _irfft_direct_composite(yre, yim):
-    """Mirror of :func:`_rfft_direct_composite` (unscaled inverse):
+def _irfft_direct_composite_v1(yre, yim):
+    """Mirror of :func:`_rfft_direct_composite_v1` (unscaled inverse):
     rebuild the level-2 spectra G[k1 <= A/2, all k2] from the ordered
     packed planes via Hermitian symmetry, backward C-FFTs, un-twiddle,
     then the fused packed real inverse for level 1."""
