@@ -305,8 +305,17 @@ def _rifft_tables(n: int):
 # ---------------------------------------------------------------------------
 
 
-def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool):
+def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool,
+                   drop_last_imag: bool = False):
     """Stockham FFT along axis 0 of (N1, TB, 128) value pairs.
+
+    ``drop_last_imag`` (the real-inverse specialization, mirroring the
+    forward's real-input first stage): the final stage's imaginary outputs
+    are never consumed by irfft, and its stage twiddle is identically 1
+    for non-folded tables (its p-index is always 0) — so the last stage
+    emits only the real butterfly plane and skips the twiddle multiply.
+    Only valid when the caller discards the imaginary result and the
+    tables are NOT twiddle-folded (i.e. the backward direction).
 
     The butterflies are the TPU rendition of passf2/passf4
     (/root/reference/simd/chowdsp_fft_impl_sse.cpp:148-296): radix-4 with
@@ -443,8 +452,13 @@ def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool):
         # (out row = p*(r*s) + j*s + q), then apply the stage twiddle as an
         # elementwise complex multiply broadcast over (TB, 128) tiles.
         zr = [z.reshape(m, s, tb, lanes) for z in zr]
-        zi = [z.reshape(m, s, tb, lanes) for z in zi]
         ar = jnp.stack(zr, axis=1).reshape(n1, tb, lanes)
+        if drop_last_imag and t == len(radices) - 1:
+            # Imag plane discarded by the caller; twiddle identically 1.
+            vre, vim = ar, None
+            n, s = m, r * s
+            continue
+        zi = [z.reshape(m, s, tb, lanes) for z in zi]
         ai = jnp.stack(zi, axis=1).reshape(n1, tb, lanes)
         wr = stw_re[t][:, None, :]  # (N1, 1, 128), broadcast over TB
         wi = stw_im[t][:, None, :]
@@ -880,7 +894,9 @@ def _irfft_core(
     mtw_re = mtw_re[:, None, :]
     mtw_im = mtw_im[:, None, :]
     ur, ui = ur * mtw_re - ui * mtw_im, ur * mtw_im + ui * mtw_re
-    xr, _ = _stockham_rows(ur, ui, radices, stw_re, stw_im, False)
+    xr, _ = _stockham_rows(
+        ur, ui, radices, stw_re, stw_im, False, drop_last_imag=True
+    )
     return xr
 
 

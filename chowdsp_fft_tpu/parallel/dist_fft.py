@@ -55,31 +55,66 @@ __all__ = [
 _MIN_FACTOR = 256  # engine-supported row length for the local FFTs
 
 
+def _dist_ok_len(x: int) -> bool:
+    """x is an engine-supported local row length: {2,3,5}-smooth, within
+    the single-kernel window, and either a multiple of 128 (Stockham
+    kernel) or inside the small direct-DFT domain — the same coverage the
+    single-chip engine guarantees for both the complex and fused-real
+    local transforms."""
+    if x < _MIN_FACTOR or x > _pf._MAX_N:
+        return False
+    if x % 128 and x > _pf._MAX_SMALL_FALLBACK:
+        return False
+    from ..plans import InvalidSizeError, factorize
+
+    try:
+        factorize(x)
+    except InvalidSizeError:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=64)
 def _dist_split(n: int, n_dev: int) -> tuple[int, int]:
-    """n = A * C, both pow2 factors >= _MIN_FACTOR and divisible by n_dev."""
-    if n <= 0 or (n & (n - 1)):
-        raise ValueError(
-            f"cannot shard N={n} over {n_dev} devices "
-            f"(need pow2 A*C with A,C >= {_MIN_FACTOR}, both divisible by {n_dev})"
-        )
-    lg = n.bit_length() - 1
-    a = 1 << ((lg + 1) // 2)
-    c = n // a
-    ok = (
-        lambda a_, c_: a_ % n_dev == 0
-        and c_ % n_dev == 0
-        and min(a_, c_) >= _MIN_FACTOR
-        and max(a_, c_) <= _pf._MAX_N
+    """n = A * C, both factors engine-supported local row lengths
+    (_dist_ok_len) and divisible by n_dev; the most balanced such split.
+    Any {2,3,5}-smooth n (the reference's full size domain,
+    /root/reference/simd/chowdsp_fft_impl_common.hpp:216-225) with big
+    enough factors shards; pow2 is the common case, not a requirement."""
+    err = ValueError(
+        f"cannot shard N={n} over {n_dev} devices (need A*C with both "
+        f"factors {{2,3,5}}-smooth, >= {_MIN_FACTOR}, <= {_pf._MAX_N}, "
+        f"divisible by {n_dev})"
     )
-    # nudge the split if divisibility fails
-    for shift in range(0, lg):
-        for a_try in (a << shift, a >> shift):
-            if a_try and n % a_try == 0 and ok(a_try, n // a_try):
-                return a_try, n // a_try
-    raise ValueError(
-        f"cannot shard N={n} over {n_dev} devices "
-        f"(need pow2 A*C with A,C >= {_MIN_FACTOR}, both divisible by {n_dev})"
-    )
+    if n <= 0:
+        raise err
+    # enumerate divisors of the {2,3,5}-smooth part
+    m, pows = n, []
+    for p in (2, 3, 5):
+        e = 0
+        while m % p == 0:
+            m //= p
+            e += 1
+        pows.append((p, e))
+    if m != 1:
+        raise err
+    best = None
+    for e2 in range(pows[0][1] + 1):
+        for e3 in range(pows[1][1] + 1):
+            for e5 in range(pows[2][1] + 1):
+                a = (2**e2) * (3**e3) * (5**e5)
+                c = n // a
+                if a < c:
+                    continue
+                if a % n_dev or c % n_dev:
+                    continue
+                if not (_dist_ok_len(a) and _dist_ok_len(c)):
+                    continue
+                if best is None or a / c < best[0] / best[1]:
+                    best = (a, c)
+    if best is None:
+        raise err
+    return best
 
 
 def _engine_perm(length: int) -> np.ndarray:

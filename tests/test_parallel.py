@@ -181,6 +181,35 @@ def test_sharded_fft_roundtrip_and_differential(n_dev, rng):
     assert np.abs(back - z).max() < 2e-7 * n
 
 
+def test_sharded_fft_smooth_n(rng):
+    """Round 3: the distributed FFT accepts any {2,3,5}-smooth N whose
+    factors are engine row lengths (was pow2-only; the reference's size
+    domain is any {2,3,4,5} product, impl_common.hpp:216-225)."""
+    from chowdsp_fft_tpu.parallel import dist_fft
+
+    n_dev = 8
+    mesh = parallel.dsp_mesh(n_dev, axis=parallel.TIME_AXIS)
+    n = 3 * (1 << 15)  # 98304 = 384 * 256
+    a, c = dist_fft._dist_split(n, n_dev)
+    assert a * c == n and a % n_dev == 0 and c % n_dev == 0
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    re, im = dist_fft.sharded_fft_planes(
+        jnp.asarray(z.real), jnp.asarray(z.imag), mesh
+    )
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(z.astype(np.complex128))
+    perm = dist_fft.spectrum_order(n, n_dev)
+    assert np.abs(got - ref[perm]).max() < 2e-7 * n
+    br, bi = dist_fft.sharded_ifft_planes(re, im, mesh)
+    back = (np.asarray(br) + 1j * np.asarray(bi)) / n
+    assert np.abs(back - z).max() < 2e-7 * n
+    # real variant rides the same split
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    rr, ri = dist_fft.sharded_rfft_planes(jnp.asarray(x), mesh)
+    xb = np.asarray(dist_fft.sharded_irfft_planes(rr, ri, mesh, n)) / n
+    assert np.abs(xb - x).max() < 2e-7 * n
+
+
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_sharded_rfft_differential_and_roundtrip(n_dev, rng):
     """Distributed REAL forward (round 2): batched, packed-row layout,
@@ -288,12 +317,15 @@ def test_init_multihost_single_process_noop():
 
 
 def test_dist_split_invalid_n_raises_cleanly():
-    """Regression (ADVICE r1): non-pow2 N must raise the documented
-    ValueError up front, not fail deep inside kernel table construction."""
+    """Regression (ADVICE r1): unsupported N must raise the documented
+    ValueError up front, not fail deep inside kernel table construction.
+    (Round 3 widened the domain to {2,3,5}-smooth N — the invalid cases
+    here are a non-smooth N, a smooth N whose factors cannot both be
+    device-divisible, and a too-small N.)"""
     from chowdsp_fft_tpu.parallel import dist_fft
 
-    for bad_n in (3 * (1 << 15), 448 * 1024 // 2 * 3, 100000):
-        with pytest.raises(ValueError, match="pow2"):
+    for bad_n in (7 * (1 << 16), 100000, 1 << 10):
+        with pytest.raises(ValueError, match="smooth"):
             dist_fft._dist_split(bad_n, 8)
 
 
