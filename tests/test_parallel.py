@@ -150,6 +150,77 @@ def test_halo_exchange_guards():
         parallel.sharded_fir_ols(x, hbig, mesh)
 
 
+def test_halo_overlap_structure(mesh8):
+    """Evidence for the weak-scaling model's overlapped row (VERDICT r2):
+    the halo ppermute and the main filter compute must share no dataflow
+    edge, i.e. everything downstream of the collective is the small
+    boundary correction — otherwise XLA can never schedule the collective
+    concurrently with the block FFTs and the model's overlap_comm=True
+    branch is fiction. Asserted on the shard_map body's jaxpr: every op
+    downstream of ppermute is halo-sized, and at least one shard-sized op
+    exists outside the downstream set."""
+    import jax
+
+    taps = 257
+    t = 8 * 65536
+    halo = taps - 1
+    block = 1024
+    x = jnp.zeros(t, jnp.float32)
+    h = jnp.ones(taps, jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda xv, hv: parallel.sharded_fir_ols(xv, hv, mesh8, block=block)
+    )(x, h)
+
+    def find_shard_map(jx):
+        for e in jx.eqns:
+            if e.primitive.name == "shard_map":
+                return e.params["jaxpr"]
+            for v in e.params.values():
+                inner = getattr(v, "jaxpr", None)
+                if inner is not None:
+                    r = find_shard_map(inner)
+                    if r is not None:
+                        return r
+        return None
+
+    body = find_shard_map(jaxpr.jaxpr)
+    assert body is not None, "no shard_map in the traced program"
+
+    def out_elems(e):
+        return max(
+            (int(np.prod(v.aval.shape)) for v in e.outvars if hasattr(v.aval, "shape")),
+            default=0,
+        )
+
+    perm_eqns = [e for e in body.eqns if e.primitive.name == "ppermute"]
+    assert len(perm_eqns) == 1
+    downstream = {id(v) for v in perm_eqns[0].outvars}
+    down_eqns = []
+    for e in body.eqns:
+        if any(id(v) in downstream for v in e.invars if not isinstance(v, jax.extend.core.Literal)):
+            down_eqns.append(e)
+            downstream.update(id(v) for v in e.outvars)
+
+    shard_len = t // 8
+    # the correction path's arrays are bounded by the OLS framing of a
+    # (2*halo)-sample stream: ~block + overlap per frame, independent of
+    # the shard length — that's the whole point
+    small = 4 * (block + 2 * halo)
+    big_down = [e for e in down_eqns if out_elems(e) > small]
+    # the final stitched output legitimately depends on the correction;
+    # allow only trivially-cheap ops (concat/slice/add family) at full size
+    cheap = {"concatenate", "add", "dynamic_update_slice", "pad", "convert_element_type"}
+    offenders = [e.primitive.name for e in big_down if e.primitive.name not in cheap]
+    assert not offenders, f"shard-sized compute gated by the collective: {offenders}"
+    big_outside = [
+        e
+        for e in body.eqns
+        if e not in down_eqns and out_elems(e) >= shard_len
+        and e.primitive.name not in cheap
+    ]
+    assert big_outside, "no shard-sized compute outside the collective's cone"
+
+
 def test_dsp_mesh_rejects_too_many_devices():
     import pytest as _pytest
 
