@@ -36,6 +36,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from chowdsp_fft_tpu.utils.roofline import fft_roofline  # noqa: E402
+
 HBM_BYTES_PER_S = 819e9  # v5e
 
 
@@ -148,32 +150,65 @@ def config2_sweep(results, quick=False):
 
         t_r = measure_pos(body_r, x) / 2.0
 
+        # Forward-only (the headline bench's basis, bench.py): the carry
+        # touches one spectrum column so the transform can't be elided;
+        # the Pallas call is opaque so the whole kernel is forced.
+        def body_r_fwd(v):
+            re, _ = cf.rfft_packed(v)
+            return v + re[:, :1] * 1e-30
+
+        t_rf = measure_pos(body_r_fwd, x)
+
         def body_c(v):
             r, i = v
             sr, si = cf.fft_planes(r, i)
             return cf.ifft_planes(sr, si)
 
         t_c = measure_pos(body_c, (zr, zi)) / 2.0
+
+        def body_c_fwd(v):
+            r, i = v
+            sr, si = cf.fft_planes(r, i)
+            return r + sr[:, :1] * 1e-30, i + si[:, :1] * 1e-30
+
+        t_cf = measure_pos(body_c_fwd, (zr, zi))
         r_ms = b * n / t_r / 1e6
+        rf_ms = b * n / t_rf / 1e6
         c_ms = b * n / t_c / 1e6
-        # memory-bound roofline (duplex): max(read, write) bytes / BW
-        roof_r = b * n / (b * n * 4 / HBM_BYTES_PER_S) / 1e6
+        cf_ms = b * n / t_cf / 1e6
+        # ONE denominator for the whole repo: utils/roofline.fft_roofline
+        # (read input + write output, summed — the same basis bench.py
+        # reports as vs_baseline). The serial-phase governing bound is
+        # also reported; see BASELINE.md for why memory alone is not the
+        # governing bound at compliant fp32.
+        roof = fft_roofline(n, b, "real")
+        roof_mem = b * n / roof.seconds_memory / 1e6
+        roof_gov = roof.samples_per_s_serial / 1e6
         rows.append(
             {
                 "N": n,
                 "batch": b,
-                "rfft_Msps": round(r_ms, 1),
-                "cfft_Msps": round(c_ms, 1),
-                "rfft_vs_mem_roofline": round(r_ms / roof_r, 4),
+                "rfft_fwd_Msps": round(rf_ms, 1),
+                "rfft_rt_Msps": round(r_ms, 1),
+                "cfft_fwd_Msps": round(cf_ms, 1),
+                "cfft_rt_Msps": round(c_ms, 1),
+                "rfft_fwd_vs_mem_roofline": round(rf_ms / roof_mem, 4),
+                "rfft_fwd_vs_governing": round(rf_ms / roof_gov, 4),
             }
         )
         print(
-            f"config2: N=2^{n.bit_length()-1} B={b}: rfft {r_ms:9.1f} Ms/s  "
-            f"cfft {c_ms:9.1f} Ms/s  ({rows[-1]['rfft_vs_mem_roofline']:.2f} of mem roofline)"
+            f"config2: N=2^{n.bit_length()-1} B={b}: rfft fwd {rf_ms:9.1f} "
+            f"rt {r_ms:9.1f} Ms/s  cfft fwd {cf_ms:9.1f} rt {c_ms:9.1f} Ms/s  "
+            f"(fwd {rows[-1]['rfft_fwd_vs_mem_roofline']:.2f} of mem, "
+            f"{rows[-1]['rfft_fwd_vs_governing']:.2f} of governing)"
         )
     results["config2"] = {
-        "desc": "throughput sweep (1 chip; per-transform average of a "
-        "fwd+bwd round-trip chain — the reference bench's methodology)",
+        "desc": "throughput sweep (1 chip). fwd = forward-only (the "
+        "headline bench.py basis); rt = per-transform average of a "
+        "fwd+bwd round-trip chain (the reference bench's methodology). "
+        "Roofline fractions are fwd-basis with the denominator from "
+        "utils/roofline.fft_roofline (read+write memory bound; "
+        "serial-phase governing bound).",
         "rows": rows,
     }
 
@@ -395,14 +430,22 @@ def main():
         "",
         "## Config 2 — throughput sweep (1 chip)",
         "",
-        "| N | batch | rfft Ms/s | cfft Ms/s | rfft vs mem-roofline |",
-        "|---|---|---|---|---|",
+        "fwd = forward-only (the headline bench.py basis); rt = per-direction "
+        "average of a fwd+bwd round-trip chain (the reference bench's "
+        "methodology). Roofline fractions are fwd-basis; the denominator is "
+        "`utils/roofline.fft_roofline` (memory = read+write; governing = "
+        "serial-phase sum — see BASELINE.md).",
+        "",
+        "| N | batch | rfft fwd Ms/s | rfft rt Ms/s | cfft fwd Ms/s | cfft rt Ms/s "
+        "| fwd vs mem-roofline | fwd vs governing |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in results["config2"]["rows"]:
         md.append(
             f"| 2^{r['N'].bit_length()-1 if isinstance(r['N'], int) else r['N']} "
-            f"| {r['batch']} | {r['rfft_Msps']} | {r['cfft_Msps']} "
-            f"| {r['rfft_vs_mem_roofline']} |"
+            f"| {r['batch']} | {r['rfft_fwd_Msps']} | {r['rfft_rt_Msps']} "
+            f"| {r['cfft_fwd_Msps']} | {r['cfft_rt_Msps']} "
+            f"| {r['rfft_fwd_vs_mem_roofline']} | {r['rfft_fwd_vs_governing']} |"
         )
     md += [
         "",

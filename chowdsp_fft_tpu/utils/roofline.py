@@ -53,9 +53,26 @@ class Roofline:
     seconds_compute: float
     bound: str
     samples_per_s: float
+    n_samples: float = 0.0
 
     def fraction(self, measured_samples_per_s: float) -> float:
         return measured_samples_per_s / self.samples_per_s
+
+    @property
+    def seconds_serial(self) -> float:
+        """Serial-phase governing bound: HBM IO + VPU stages + MXU merge
+        summed, NOT overlapped. On v5e Mosaic the kernel's IO, butterfly
+        (VPU) and merge (MXU) phases measurably do not overlap — the ILP
+        sub-tile probe and the pass-model validation (benchmarks/
+        ROOFLINE.md, NOTES.md round 2) show each phase at ~0.7-1.0 of its
+        own bound with zero cross-phase concurrency — so the achievable
+        speed of light is the SUM of the three resource bounds, not their
+        max. This is the denominator the re-anchored BASELINE gate uses."""
+        return self.seconds_memory + self.seconds_compute
+
+    @property
+    def samples_per_s_serial(self) -> float:
+        return self.n_samples / self.seconds_serial
 
 
 def fft_roofline(
@@ -103,6 +120,7 @@ def fft_roofline(
         seconds_compute=t_comp,
         bound="memory" if t_mem >= t_comp else "compute",
         samples_per_s=batch * n / t,
+        n_samples=batch * n,
     )
 
 
@@ -126,6 +144,7 @@ def conv_roofline(
         seconds_compute=t_comp,
         bound="memory" if t_mem >= t_comp else "compute",
         samples_per_s=batch_blocks * n_fft / t,
+        n_samples=batch_blocks * n_fft,
     )
 
 

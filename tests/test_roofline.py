@@ -1,0 +1,51 @@
+"""The roofline calculator is the single denominator for every reported
+fraction (bench.py vs_baseline/vs_governing, sweep config2 columns), so its
+invariants are load-bearing: a silent change here re-grades every recorded
+benchmark. See BASELINE.md (re-anchored gate) and benchmarks/ROOFLINE.md
+(pass-model derivation)."""
+
+import math
+
+from chowdsp_fft_tpu.utils.roofline import V5E, conv_roofline, fft_roofline
+
+
+def test_headline_bounds_match_baseline_doc():
+    r = fft_roofline(4096, 1024, "real")
+    # memory bound: read N fp32 + write (N/2+1) complex64 per row
+    assert math.isclose(
+        r.seconds_memory, 1024 * (4096 * 4 + 2049 * 8) / V5E.hbm_bytes_per_s
+    )
+    # compliant merge pass floor alone exceeds the memory bound (the
+    # BASELINE.md impossibility argument)
+    merge_s = 1024 * 32 * 2 * 6 / 8.0 / V5E.mxu_clock_hz
+    assert merge_s > r.seconds_memory
+    assert r.seconds_compute > merge_s  # VPU stages add on top
+    # serial-phase governing bound = sum, not max
+    assert math.isclose(r.seconds_serial, r.seconds_memory + r.seconds_compute)
+    # the documented numbers: ~107us serial, ~39 Gs/s, mem ceiling ~0.38
+    assert 100e-6 < r.seconds_serial < 115e-6
+    assert 0.36 < r.seconds_memory / r.seconds_serial < 0.40
+
+
+def test_bench_and_sweep_share_the_denominator():
+    import bench
+
+    roof_mem, roof_gov = bench.roofline_msamples()
+    r = fft_roofline(bench.N, bench.BATCH, "real")
+    assert math.isclose(roof_mem, bench.BATCH * bench.N / r.seconds_memory / 1e6)
+    assert math.isclose(roof_gov, r.samples_per_s_serial / 1e6)
+
+
+def test_serial_bound_monotonic_in_n():
+    prev = None
+    for e in range(8, 16):
+        r = fft_roofline(2**e, 1024, "real")
+        if prev is not None:
+            assert r.seconds_serial > prev
+        prev = r.seconds_serial
+
+
+def test_conv_roofline_carries_n_samples():
+    r = conv_roofline(2048, 64)
+    assert r.n_samples == 2048 * 64
+    assert r.samples_per_s_serial < r.samples_per_s
