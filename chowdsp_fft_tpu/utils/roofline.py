@@ -75,43 +75,69 @@ class Roofline:
         return self.n_samples / self.seconds_serial
 
 
+# Single-Stockham-kernel ceiling; mirrors ops.pallas_fft._MAX_N (kept as a
+# plain constant so utils stays import-light — tests/test_roofline.py pins
+# the two in sync).
+SINGLE_KERNEL_MAX_N = 131072
+
+
 def fft_roofline(
     n: int,
     batch: int,
     kind: str = "real",
     chip: ChipSpec = V5E,
     merge_lanes: int = 128,
+    levels: int | None = None,
 ) -> Roofline:
     """Speed of light for a batched (r)fft of length n.
 
-    Memory: one input read + one output write.
+    Memory: one input read + one output write PER LEVEL — above the
+    single-kernel ceiling the engine runs the two-level HBM-staged
+    composite (ops/pallas_fft._cfft_composite_v2 and the direct-real
+    analog), so the data makes two round trips; ``levels`` defaults to
+    the dispatch tier and can be forced for modeling.
     Compute: butterfly flops on the VPU + the four-step merge matmul on
     the MXU, costed by the validated PASS model (rows x passes at
     mxu_rows_per_cycle, column-count-independent): the real forward's
     column-packed merge is 2 fp32-HIGHEST matmuls, complex merges are 3
-    (Karatsuba).
+    (Karatsuba). For the two-level real composite, level 2 is a complex
+    transform on the ~n/2 Hermitian-independent bins (half rows, 3
+    matmuls).
     """
+    if levels is None:
+        levels = 1 if n <= SINGLE_KERNEL_MAX_N else 2
     if kind == "real":
         in_bytes = n * 4
         out_bytes = (n // 2 + 1) * 8
-        cn = n  # the fused real kernel runs the FULL-length four-step
-        num_matmuls = 2  # column-packed [Mr|Mi] / [-Mi|Mr]
     else:
         in_bytes = n * 8
         out_bytes = n * 8
-        cn = n
-        num_matmuls = 3  # Karatsuba, full-width output
-    t_mem = batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
+    t_mem = levels * batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
 
-    bf_flops = 2.5 * cn * max(1.0, math.log2(max(2, cn // merge_lanes))) * batch
-    merge_rows = batch * max(1, cn // merge_lanes)
-    t_merge = (
-        merge_rows
-        * num_matmuls
-        * chip.f32_passes
-        / chip.mxu_rows_per_cycle
-        / chip.mxu_clock_hz
-    )
+    row_unit = chip.f32_passes / chip.mxu_rows_per_cycle / chip.mxu_clock_hz
+    merge_rows = batch * max(1, n // merge_lanes)
+    planes = 1 if kind == "real" else 2  # stage work runs per fp32 plane
+    if levels == 1:
+        bf_flops = (
+            2.5 * planes * n * max(1.0, math.log2(max(2, n // merge_lanes))) * batch
+        )
+        t_merge = merge_rows * (2 if kind == "real" else 3) * row_unit
+    else:
+        # balanced split n = a*c (pow2-exact; smooth-N approximate)
+        a = 1 << ((n.bit_length()) // 2)
+        while n % a:
+            a >>= 1
+        c = n // a
+        la = max(1.0, math.log2(max(2, a // merge_lanes)))
+        lc = max(1.0, math.log2(max(2, c // merge_lanes)))
+        if kind == "real":
+            # level 1: fused real kernel over full n (one plane); level 2:
+            # complex (two planes) on the ~n/2 independent bins
+            bf_flops = 2.5 * batch * (n * la + 2 * (n / 2) * lc)
+            t_merge = (merge_rows * 2 + merge_rows / 2 * 3) * row_unit
+        else:
+            bf_flops = 2.5 * batch * 2 * n * (la + lc)
+            t_merge = merge_rows * 3 * 2 * row_unit
     t_comp = bf_flops / chip.vpu_flops + t_merge
 
     t = max(t_mem, t_comp)

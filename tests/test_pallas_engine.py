@@ -316,6 +316,43 @@ def test_composite_smooth_dispatch(rng):
     assert np.abs(back - x).max() < tol(n)
 
 
+def test_composite_v1_fallback_roundtrip(rng):
+    """The v2 two-kernel composite engages whenever its VMEM tiles fit —
+    which includes every other composite test here — so the v1 chain (the
+    fallback for shapes whose tiles don't fit, _cfft_pair_large) needs its
+    own coverage: complex ordered + real direct, differential vs numpy."""
+    n = 65536
+    x = rand_complex(rng, (2, n))
+    yr, yi = pallas_fft._cfft_pair_large_v1(
+        jnp.asarray(x.real), jnp.asarray(x.imag), n, True, True
+    )
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    assert np.abs(got - ref).max() < tol(n)
+    br, bi = pallas_fft._cfft_pair_large_v1(yr, yi, n, False, True)
+    back = (np.asarray(br) + 1j * np.asarray(bi)) / n
+    assert np.abs(back - x).max() < tol(n)
+
+    xr = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = map(np.asarray, pallas_fft._rfft_direct_composite_v1(jnp.asarray(xr)))
+    rref = np.fft.rfft(xr.astype(np.float64), axis=-1)
+    assert np.abs(re[:, 1:] - rref[:, 1 : n // 2].real).max() < tol(n)
+    backr = np.asarray(
+        pallas_fft._irfft_direct_composite_v1(jnp.asarray(re), jnp.asarray(im))
+    ) / n
+    assert np.abs(backr - xr).max() < tol(n)
+
+
+def test_composite_v2_engages(rng):
+    """Guard the round-3 dispatch: at the composite tests' shapes the v2
+    tiles fit, so the public path must actually take v2 (a silent
+    v1-always regression would erase the round-3 large-N win)."""
+    assert pallas_fft._v2_supported(65536, 2)
+    assert pallas_fft._rdc_v2_supported(65536, 2)
+    assert pallas_fft._v2_supported(1 << 18, 16)  # the sweep's 2^18 row
+    assert pallas_fft._rdc_v2_supported(1 << 18, 16)
+
+
 def test_large_rfft_via_half(rng):
     """Real N above the fused-kernel bound goes through the batch-paired
     half-complex split (exercised directly at a test-friendly size)."""

@@ -45,6 +45,25 @@ def test_serial_bound_monotonic_in_n():
         prev = r.seconds_serial
 
 
+def test_two_level_tier_matches_dispatch():
+    """The model's level switch must track the engine's single-kernel
+    ceiling, and the composite tier doubles the memory term (two HBM
+    round trips) — the denominator behind the sweep's large-N rows."""
+    from chowdsp_fft_tpu.ops import pallas_fft
+    from chowdsp_fft_tpu.utils.roofline import SINGLE_KERNEL_MAX_N
+
+    assert SINGLE_KERNEL_MAX_N == pallas_fft._MAX_N
+    r1 = fft_roofline(1 << 17, 32, "complex")
+    r2 = fft_roofline(1 << 18, 16, "complex")
+    assert math.isclose(r2.seconds_memory, 2 * r1.seconds_memory)
+    # forcing levels overrides the tier
+    f = fft_roofline(1 << 18, 16, "complex", levels=1)
+    assert math.isclose(f.seconds_memory, r1.seconds_memory)
+    # complex N=4096 serial bound ~187us (ROOFLINE.md table)
+    rc = fft_roofline(4096, 1024, "complex")
+    assert 180e-6 < rc.seconds_serial < 195e-6
+
+
 def test_conv_roofline_carries_n_samples():
     r = conv_roofline(2048, 64)
     assert r.n_samples == 2048 * 64
