@@ -117,6 +117,36 @@ def _dist_split(n: int, n_dev: int) -> tuple[int, int]:
     return best
 
 
+def _pipeline_chunks_call(fn, arrays, n_chunks: int):
+    """Software pipeline for batched distributed transforms: split the
+    leading batch axis into ``n_chunks`` pieces and run the full
+    all_to_all -> local-FFT -> all_to_all chain per piece. The chunks
+    share no dataflow edge, so XLA's latency-hiding scheduler is free to
+    fly chunk i+1's collective while chunk i's local FFTs occupy the
+    chip — the standard comm/compute-overlap recipe for ICI-bound
+    programs. (The unchunked transform is a strict a2a->fft->a2a->fft
+    dependency chain with nothing to overlap; tests assert the chunked
+    jaxpr really contains n_chunks independent collective pairs.)"""
+    b = arrays[0].shape[0]
+    edges = [round(i * b / n_chunks) for i in range(n_chunks + 1)]
+    outs = [
+        fn(*(a[s:e] for a in arrays)) for s, e in zip(edges, edges[1:]) if e > s
+    ]
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _check_pipelineable(ndim: int, n_chunks: int) -> None:
+    if n_chunks < 1:
+        raise ValueError(f"pipeline_chunks must be >= 1, got {n_chunks}")
+    if n_chunks > 1 and ndim < 2:
+        raise ValueError(
+            "pipeline_chunks > 1 requires a leading batch axis to split "
+            "(a single unbatched transform is one strict dependency chain)"
+        )
+
+
 def _engine_perm(length: int) -> np.ndarray:
     """The single-chip engine's unordered bin permutation for a local FFT
     of this length: digit-transposed for the Stockham-kernel path,
@@ -195,6 +225,7 @@ def sharded_fft_planes(
     im: jax.Array,
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
+    pipeline_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward complex FFTs of length N distributed over the mesh, batched.
 
@@ -202,7 +233,17 @@ def sharded_fft_planes(
     and sharded over ``axis_name`` (leading batch axes replicated).
     Returns (..., N) spectrum planes in the distributed bin order
     (:func:`spectrum_order`), sharded over the same axis. Unscaled.
+    ``pipeline_chunks`` > 1 splits the leading batch axis into that many
+    independent pipeline chunks so the all_to_all of one chunk can
+    overlap the local FFTs of another (see _pipeline_chunks_call).
     """
+    _check_pipelineable(re.ndim, pipeline_chunks)
+    if pipeline_chunks > 1:
+        return _pipeline_chunks_call(
+            lambda r, i: sharded_fft_planes(r, i, mesh, axis_name),
+            [re, im],
+            pipeline_chunks,
+        )
     n = re.shape[-1]
     n_dev = mesh.shape[axis_name]
     a, c = _dist_split(n, n_dev)
@@ -246,10 +287,18 @@ def sharded_ifft_planes(
     im: jax.Array,
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
+    pipeline_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Unscaled inverse consuming the distributed bin order of
     :func:`sharded_fft_planes`; returns time-contiguous (..., N) planes
     (ifft(fft(x)) == N * x)."""
+    _check_pipelineable(re.ndim, pipeline_chunks)
+    if pipeline_chunks > 1:
+        return _pipeline_chunks_call(
+            lambda r, i: sharded_ifft_planes(r, i, mesh, axis_name),
+            [re, im],
+            pipeline_chunks,
+        )
     n = re.shape[-1]
     n_dev = mesh.shape[axis_name]
     a, c = _dist_split(n, n_dev)
@@ -345,10 +394,17 @@ def sharded_rfft_planes(
     x: jax.Array,
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
+    pipeline_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed real forward FFT, batched: (..., N) real float32 with
     the last axis time-sharded -> distributed packed real spectrum planes
-    (..., rows_p * C), sharded over the same axis. Unscaled."""
+    (..., rows_p * C), sharded over the same axis. Unscaled.
+    ``pipeline_chunks``: see :func:`sharded_fft_planes`."""
+    _check_pipelineable(x.ndim, pipeline_chunks)
+    if pipeline_chunks > 1:
+        return _pipeline_chunks_call(
+            lambda v: sharded_rfft_planes(v, mesh, axis_name), [x], pipeline_chunks
+        )
     n = x.shape[-1]
     n_dev = mesh.shape[axis_name]
     a, c = _dist_split(n, n_dev)
@@ -409,11 +465,20 @@ def sharded_irfft_planes(
     mesh: Mesh,
     n: int,
     axis_name: str = TIME_AXIS,
+    pipeline_chunks: int = 1,
 ) -> jax.Array:
     """Unscaled inverse of :func:`sharded_rfft_planes`: distributed packed
     real spectrum planes -> time-sharded (..., N) real float32
     (irfft(rfft(x)) == N * x). ``n`` is the signal length (the padded
-    spectrum planes do not determine it)."""
+    spectrum planes do not determine it).
+    ``pipeline_chunks``: see :func:`sharded_fft_planes`."""
+    _check_pipelineable(re.ndim, pipeline_chunks)
+    if pipeline_chunks > 1:
+        return _pipeline_chunks_call(
+            lambda r, i: sharded_irfft_planes(r, i, mesh, n, axis_name),
+            [re, im],
+            pipeline_chunks,
+        )
     n_dev = mesh.shape[axis_name]
     a, c = _dist_split(n, n_dev)
     half_a = a // 2
@@ -472,6 +537,7 @@ def sharded_rfft_convolve(
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
     scaling: float | jax.Array | None = None,
+    pipeline_chunks: int = 1,
 ) -> jax.Array:
     """Circular convolution of real length-N signals, fully distributed
     and batched: two distributed real forwards, an elementwise spectral
@@ -479,14 +545,17 @@ def sharded_rfft_convolve(
     needed — see the layout note above), one distributed real inverse.
     The multi-chip, real-first rendition of the reference's raison d'être
     (/root/reference/chowdsp_fft.h:147-154). ``scaling`` defaults to 1/N.
+    ``pipeline_chunks``: see :func:`sharded_fft_planes`.
     """
     n = x.shape[-1]
     s = (1.0 / n) if scaling is None else scaling
-    ar, ai = sharded_rfft_planes(x, mesh, axis_name)
-    br, bi = sharded_rfft_planes(h, mesh, axis_name)
+    ar, ai = sharded_rfft_planes(x, mesh, axis_name, pipeline_chunks)
+    br, bi = sharded_rfft_planes(
+        h, mesh, axis_name, pipeline_chunks if h.ndim > 1 else 1
+    )
     pr = (ar * br - ai * bi) * s
     pi = (ar * bi + ai * br) * s
-    return sharded_irfft_planes(pr, pi, mesh, n, axis_name)
+    return sharded_irfft_planes(pr, pi, mesh, n, axis_name, pipeline_chunks)
 
 
 def sharded_fft_convolve(
@@ -497,6 +566,7 @@ def sharded_fft_convolve(
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
     scaling: float | jax.Array | None = None,
+    pipeline_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Circular convolution of two length-N complex signals, everything
     distributed: two sharded forward FFTs, an elementwise spectral product
@@ -505,11 +575,14 @@ def sharded_fft_convolve(
     /root/reference/test/test.cpp:131-232), one sharded inverse.
 
     ``scaling`` defaults to 1/N, returning the true circular convolution.
+    ``pipeline_chunks``: see :func:`sharded_fft_planes`.
     """
     n = x_re.shape[-1]
     s = (1.0 / n) if scaling is None else scaling
-    ar, ai = sharded_fft_planes(x_re, x_im, mesh, axis_name)
-    br, bi = sharded_fft_planes(h_re, h_im, mesh, axis_name)
+    ar, ai = sharded_fft_planes(x_re, x_im, mesh, axis_name, pipeline_chunks)
+    br, bi = sharded_fft_planes(
+        h_re, h_im, mesh, axis_name, pipeline_chunks if h_re.ndim > 1 else 1
+    )
     pr = (ar * br - ai * bi) * s
     pi = (ar * bi + ai * br) * s
-    return sharded_ifft_planes(pr, pi, mesh, axis_name)
+    return sharded_ifft_planes(pr, pi, mesh, axis_name, pipeline_chunks)
