@@ -35,6 +35,7 @@ from .api import (  # noqa: F401
     ifft,
     ifft_unordered,
     convolve_accumulate_packed,
+    convolve_irfft_packed,
     fft_planes,
     fft_planes_unordered,
     ifft_planes,

@@ -92,6 +92,7 @@ __all__ = [
     "ifft_planes_unordered",
     "convolve_accumulate",
     "convolve_accumulate_packed",
+    "convolve_irfft_packed",
     "multiply_spectra",
     "accumulate",
     "spectrum_to_packed_planes",
@@ -333,3 +334,31 @@ def irfft_unordered(spec: jax.Array, plan: FFTPlan | None = None, engine: str = 
     n = 2 * (spec.shape[-1] - 1)
     plan = plan or cached_plan(n, FFT_REAL)
     return _pick_engine(plan, engine)["irfft_unordered"](spec, plan)
+
+
+def convolve_irfft_packed(
+    are: jax.Array,
+    aim: jax.Array,
+    bre: jax.Array,
+    bim: jax.Array,
+    scaling: float | jax.Array = 1.0,
+    plan: FFTPlan | None = None,
+    engine: str = "auto",
+    ordered: bool = True,
+) -> jax.Array:
+    """Fused spectral multiply + unscaled real inverse:
+    ``irfft_packed(convolve_accumulate_packed(A, B, scaling=scaling))`` as
+    ONE kernel on the Pallas engine — the product spectrum never round-trips
+    through HBM, which removes ~2 memory passes from the reference's
+    convolve-then-inverse pipeline (/root/reference/chowdsp_fft.h:147-154
+    feeding the backward transform). B may be a single shared spectrum (a
+    filter) broadcast over A's batch. Engines without the fused kernel run
+    the identical unfused composition."""
+    plan = plan or cached_plan(2 * are.shape[-1], FFT_REAL)
+    eng = _pick_engine(plan, engine)
+    fn = eng.get("convolve_irfft_packed")
+    if fn is not None:
+        return fn(are, aim, bre, bim, scaling=scaling, ordered=ordered)
+    pr, pi = convolve_accumulate_packed((are, aim), (bre, bim), scaling=scaling)
+    key = "irfft_packed" if ordered else "irfft_packed_unordered"
+    return eng[key](pr, pi, plan)

@@ -59,6 +59,7 @@ __all__ = [
     "irfft",
     "rfft_packed",
     "irfft_packed",
+    "convolve_irfft_packed",
     "supports_plan",
     "merge_precision",
     "LANES",
@@ -1357,6 +1358,204 @@ def _pallas_irfft_packed_impl(yre: jax.Array, yim: jax.Array, n: int, ordered: b
     if pad:
         x = x[:b]
     return x
+
+
+def _packed_product(ar, ai, br, bi, scale: float):
+    """Packed-plane spectral product with the DC·DC / Nyq·Nyq bin-0
+    patch-up (the in-kernel twin of ops.convolve.convolve_accumulate_packed;
+    reference scalar patch-up: simd/chowdsp_fft_impl_sse.cpp:1640-1644)."""
+    pr = ar * br - ai * bi
+    pi = ar * bi + ai * br
+    col = jax.lax.broadcasted_iota(jnp.int32, pr.shape, pr.ndim - 1)
+    pr = jnp.where(col == 0, ar * br, pr)
+    pi = jnp.where(col == 0, ai * bi, pi)
+    if scale != 1.0:
+        pr = pr * scale
+        pi = pi * scale
+    return pr, pi
+
+
+def _irfft_conv_kernel(
+    are_ref, aim_ref, bre_ref, bim_ref,
+    stw_re_ref, stw_im_ref, mtw_re_ref, mtw_im_ref,
+    ms_re_ref, ms_im_ref, d_re_ref, d_im_ref, c0_re_ref, c0_im_ref,
+    x_ref,
+    *,
+    n1: int,
+    radices: tuple[int, ...],
+    ordered: bool,
+    scale: float,
+):
+    """Fused spectral-multiply + real inverse: irfft(scale * (A ⊙ B)) in
+    one kernel, saving the standalone product's HBM round trip (write +
+    re-read of the product spectrum ≈ 2 passes over the data). The B
+    planes may be a (1, N/2) broadcast row (a shared filter — the FIR
+    case) or batch-tiled like A. The single-kernel composition of the
+    reference's fft_convolve + inverse (/root/reference/chowdsp_fft.h:
+    147-154 feeding fft_transform backward)."""
+    tb = are_ref.shape[0]
+    pr, pi = _packed_product(
+        are_ref[...], aim_ref[...], bre_ref[...], bim_ref[...], scale
+    )
+    xr = _irfft_core(
+        pr, pi,
+        stw_re_ref[...], stw_im_ref[...], mtw_re_ref[...], mtw_im_ref[...],
+        ms_re_ref[...], ms_im_ref[...], d_re_ref[...], d_im_ref[...],
+        c0_re_ref[...], c0_im_ref[...],
+        n1=n1, radices=radices, ordered=ordered,
+    )
+    x_ref[...] = jnp.swapaxes(xr, 0, 1).reshape(tb, n1 * LANES)
+
+
+def _pallas_irfft_conv_impl(
+    are, aim, bre, bim, n: int, ordered: bool, scale: float
+) -> jax.Array:
+    """(B, N/2) x2 spectrum A, (B or 1, N/2) x2 spectrum B -> (B, N)."""
+    n1 = n // LANES
+    radices, (stw_re, stw_im), (mtw_re, mtw_im), ms, d, c0 = _rifft_tables(n)
+
+    b = are.shape[0]
+    shared_b = bre.shape[0] == 1 and b != 1
+    tb = _rbatch_tile(n, b)
+    pad = (-b) % tb
+    if pad:
+        are = jnp.pad(are, ((0, pad), (0, 0)))
+        aim = jnp.pad(aim, ((0, pad), (0, 0)))
+        if not shared_b:
+            bre = jnp.pad(bre, ((0, pad), (0, 0)))
+            bim = jnp.pad(bim, ((0, pad), (0, 0)))
+    bp = b + pad
+    num_stages = stw_re.shape[0]
+
+    kern = functools.partial(
+        _irfft_conv_kernel, n1=n1, radices=radices, ordered=ordered, scale=scale
+    )
+
+    def table(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
+
+    m = n // 2
+    half = LANES // 2
+    b_spec = (
+        table((1, m))
+        if shared_b
+        else pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    (x,) = pl.pallas_call(
+        kern,
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            b_spec,
+            b_spec,
+            table((num_stages, n1, LANES)),
+            table((num_stages, n1, LANES)),
+            table((n1, LANES)),
+            table((n1, LANES)),
+            table((LANES, LANES)),
+            table((LANES, LANES)),
+            table((half, LANES)),
+            table((half, LANES)),
+            table((1, LANES)),
+            table((1, LANES)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bp * n1 * LANES * LANES
+            + int(2.5 * bp * n * max(1, np.log2(max(2, n1)))) * 2,
+            bytes_accessed=4 * (2 * bp * n),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(are, jnp.float32),
+        jnp.asarray(aim, jnp.float32),
+        jnp.asarray(bre, jnp.float32),
+        jnp.asarray(bim, jnp.float32),
+        stw_re, stw_im, mtw_re, mtw_im,
+        ms[0], ms[1], d[0], d[1], c0[0], c0[1],
+    )
+
+    if pad:
+        x = x[:b]
+    return x
+
+
+def _conv_irfft_reference(are, aim, bre, bim, n, ordered, scaling):
+    """Unfused composition (the differentiable/VJP + fallback path)."""
+    from .convolve import convolve_accumulate_packed
+
+    pr, pi = convolve_accumulate_packed((are, aim), (bre, bim), scaling=scaling)
+    return irfft_packed(pr, pi, ordered=ordered)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnames=("n", "ordered", "scale"))
+def _pallas_irfft_conv(are, aim, bre, bim, n, ordered, scale):
+    return _pallas_irfft_conv_impl(are, aim, bre, bim, n, ordered, scale)
+
+
+def _pallas_irfft_conv_fwd(are, aim, bre, bim, n, ordered, scale):
+    return (
+        _pallas_irfft_conv_impl(are, aim, bre, bim, n, ordered, scale),
+        (are, aim, bre, bim),
+    )
+
+
+def _pallas_irfft_conv_bwd(n, ordered, scale, res, ct):
+    are, aim, bre, bim = res
+    _, vjp = jax.vjp(
+        lambda ar, ai, br, bi: _conv_irfft_reference(
+            ar, ai, br, bi, n, ordered, scale
+        ),
+        are, aim, bre, bim,
+    )
+    return vjp(ct)
+
+
+_pallas_irfft_conv.defvjp(_pallas_irfft_conv_fwd, _pallas_irfft_conv_bwd)
+
+
+def convolve_irfft_packed(are, aim, bre, bim, scaling=1.0, ordered: bool = True):
+    """Fused ``irfft_packed(A ⊙ B * scaling)``: the spectral product (with
+    the packed DC/Nyq patch-up) runs inside the inverse kernel, so the
+    product spectrum never touches HBM. A is batched (..., N/2) packed
+    planes; B either matches A's batch or is a single shared spectrum
+    (a filter). ``scaling`` must be a static Python number for the fused
+    path; traced scalings, small/composite sizes, and non-kernel engines
+    fall back to the unfused composition (same math, one extra HBM round
+    trip). Unscaled transform semantics otherwise (backward carries N)."""
+    m = are.shape[-1]
+    n = 2 * m
+    fusable = (
+        isinstance(scaling, (int, float))
+        and not _small_dispatch(n)
+        and n <= _MAX_FUSED_REAL
+        and _is_smooth_multiple(n)
+        and jax.dtypes.canonicalize_dtype(jnp.float32) == jnp.float32
+    )
+    if not fusable:
+        return _conv_irfft_reference(are, aim, bre, bim, n, ordered, scaling)
+    af, batch_shape = _flatten_batch(are.astype(jnp.float32))
+    aif, _ = _flatten_batch(aim.astype(jnp.float32))
+    bf = bre.astype(jnp.float32).reshape(-1, m)
+    bif = bim.astype(jnp.float32).reshape(-1, m)
+    if bf.shape[0] not in (1, af.shape[0]):
+        raise ValueError(
+            f"B batch {bf.shape[0]} must be 1 or match A batch {af.shape[0]}"
+        )
+    x = _pallas_irfft_conv(af, aif, bf, bif, n, ordered, float(scaling))
+    return x.reshape(*batch_shape, n)
 
 
 # ---------------------------------------------------------------------------
@@ -2706,6 +2905,7 @@ _api.register_engine(
         "irfft_packed_unordered": _irfft_packed_unordered,
         "cfft_planes": cfft_planes,
         "cfft_planes_unordered": functools.partial(cfft_planes, ordered=False),
+        "convolve_irfft_packed": convolve_irfft_packed,
     },
     supports=supports_plan,
 )

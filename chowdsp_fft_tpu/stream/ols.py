@@ -101,8 +101,18 @@ def fir_filter_ols(
 
     frames = _frame_overlap(x, block, taps - 1)  # (..., nb, n)
     xre, xim = api.rfft_packed_unordered(frames, plan=plan, engine=engine)
-    yre, yim = api.convolve_accumulate_packed((xre, xim), (hre, him), scaling=1.0 / n)
-    yblocks = api.irfft_packed_unordered(yre, yim, plan=plan, engine=engine)
+    if h.ndim == 1:
+        # Shared filter: the spectral product fuses into the inverse
+        # kernel (round 3) — the product spectrum never touches HBM.
+        yblocks = api.convolve_irfft_packed(
+            xre, xim, hre, him, scaling=1.0 / n, plan=plan, engine=engine,
+            ordered=False,
+        )
+    else:
+        yre, yim = api.convolve_accumulate_packed(
+            (xre, xim), (hre, him), scaling=1.0 / n
+        )
+        yblocks = api.irfft_packed_unordered(yre, yim, plan=plan, engine=engine)
     # Overlap-save: the first taps-1 samples of each block are circularly
     # corrupted; keep the last `block` samples.
     y = yblocks[..., taps - 1 :]

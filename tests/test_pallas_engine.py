@@ -316,6 +316,91 @@ def test_composite_smooth_dispatch(rng):
     assert np.abs(back - x).max() < tol(n)
 
 
+def test_convolve_irfft_fused(rng):
+    """Round 3: convolve_irfft_packed fuses the spectral product (with
+    the packed DC/Nyq patch-up) into the inverse kernel. Checked vs the
+    f64 circular convolution and vs the unfused composition, for a
+    shared (1, N/2) filter, a batched filter, ordered and unordered
+    layouts, and the traced-scaling fallback."""
+    n = 1024
+    b = 4
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    h = rng.standard_normal((1, n)).astype(np.float32)
+    ref = np.real(
+        np.fft.ifft(
+            np.fft.fft(x.astype(np.float64), axis=-1)
+            * np.fft.fft(h.astype(np.float64), axis=-1),
+            axis=-1,
+        )
+    )
+    for ordered in (True, False):
+        fwd = cf.rfft_packed if ordered else cf.rfft_packed_unordered
+        are, aim = fwd(x, engine="pallas")
+        bre, bim = fwd(h, engine="pallas")
+        y = np.asarray(
+            cf.convolve_irfft_packed(
+                are, aim, bre, bim, scaling=1.0 / n, engine="pallas",
+                ordered=ordered,
+            )
+        )
+        assert np.abs(y - ref).max() < tol(n), f"ordered={ordered}"
+        # unfused composition agrees (same math, one more HBM trip)
+        pr, pi = cf.convolve_accumulate_packed(
+            (are, aim), (bre, bim), scaling=1.0 / n
+        )
+        inv = cf.irfft_packed if ordered else cf.irfft_packed_unordered
+        y2 = np.asarray(inv(pr, pi, engine="pallas"))
+        assert np.abs(y - y2).max() < tol(n)
+    # batched filter (B matches A's batch)
+    hb = rng.standard_normal((b, n)).astype(np.float32)
+    are, aim = cf.rfft_packed(x, engine="pallas")
+    bre, bim = cf.rfft_packed(hb, engine="pallas")
+    refb = np.real(
+        np.fft.ifft(
+            np.fft.fft(x.astype(np.float64), axis=-1)
+            * np.fft.fft(hb.astype(np.float64), axis=-1),
+            axis=-1,
+        )
+    )
+    yb = np.asarray(
+        cf.convolve_irfft_packed(are, aim, bre, bim, scaling=1.0 / n)
+    )
+    assert np.abs(yb - refb).max() < tol(n)
+    # traced scaling takes the unfused fallback, same result
+    yt = np.asarray(
+        jax.jit(
+            lambda s: cf.convolve_irfft_packed(are, aim, bre, bim, scaling=s)
+        )(jnp.float32(1.0 / n))
+    )
+    assert np.abs(yt - refb).max() < tol(n)
+
+
+def test_convolve_irfft_fused_grad(rng):
+    """The fused op's VJP routes through the unfused composition; check
+    it against numerical reality via the stockham engine's autodiff."""
+    n = 256
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    h = rng.standard_normal((1, n)).astype(np.float32)
+    are, aim = map(np.asarray, cf.rfft_packed(x, engine="pallas"))
+    bre, bim = map(np.asarray, cf.rfft_packed(h, engine="pallas"))
+    w = rng.standard_normal((2, n)).astype(np.float32)
+
+    def loss_fused(ar, ai, br, bi):
+        y = cf.convolve_irfft_packed(ar, ai, br, bi, scaling=1.0 / n,
+                                     engine="pallas")
+        return jnp.sum(y * w)
+
+    def loss_unfused(ar, ai, br, bi):
+        pr, pi = cf.convolve_accumulate_packed((ar, ai), (br, bi),
+                                               scaling=1.0 / n)
+        return jnp.sum(cf.irfft_packed(pr, pi, engine="stockham") * w)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(are, aim, bre, bim)
+    g2 = jax.grad(loss_unfused, argnums=(0, 1, 2, 3))(are, aim, bre, bim)
+    for a, b in zip(g1, g2):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < tol(n)
+
+
 def test_composite_v1_fallback_roundtrip(rng):
     """The v2 two-kernel composite engages whenever its VMEM tiles fit —
     which includes every other composite test here — so the v1 chain (the
