@@ -22,6 +22,11 @@ pr, pi = cf.convolve_accumulate_packed(A, B, scaling=1.0 / n)
 y = cf.irfft_packed_unordered(pr, pi)  # circular conv, no reorder ever paid
 print("circular conv out:", y.shape)
 
+# Same result, one kernel fewer HBM round trips: the spectral product is
+# fused into the inverse kernel (round 3).
+y_fused = cf.convolve_irfft_packed(*A, *B, scaling=1.0 / n, ordered=False)
+print("fused conv max diff:", float(jnp.abs(y - y_fused).max()))
+
 # --- a 64-channel convolution reverb (2 s impulse responses @ 48 kHz) ---
 channels, seconds, sr = 64, 2, 48000
 ir = (rng.standard_normal((channels, seconds * sr)) *
