@@ -38,7 +38,6 @@ sys.path.insert(0, str(REPO))
 
 from chowdsp_fft_tpu.utils.roofline import fft_roofline  # noqa: E402
 
-HBM_BYTES_PER_S = 819e9  # v5e
 
 
 def measure(fn_body, init, iters_pair):
