@@ -7,7 +7,8 @@ Run on a machine with the real TPU chip attached:
 
 Covers:
   1. Single real forward+inverse FFT, N=4096: round-trip SNR vs numpy f64.
-  2. Batched complex + real throughput sweep, N = 2^8 .. 2^20.
+  2. Batched complex + real throughput sweep, N = 2^5 .. 2^20
+     (forward-only and round-trip bases, one roofline denominator).
   3. Frequency-domain FIR: 4096-tap filter over a 1M-sample stream
      (uniformly partitioned overlap-save -> fused convolve-accumulate).
   4. Weak scaling of the sharded partitioned FIR on a virtual device mesh
