@@ -175,15 +175,20 @@ def _dist_twiddle(n: int, a: int, forward: bool):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def spectrum_order(n: int, n_dev: int) -> np.ndarray:
+def spectrum_order(n: int, n_dev: int, transform_chunks: int = 1) -> np.ndarray:
     """perm with perm[p] = the bin stored at flat position p of the
     distributed spectrum: p = q_row*C + t_col -> bin
-    perm_A(q_row) + A * perm_C(t_col) (both engine permutations folded)."""
+    perm_A(q_row) + A * perm_C(t_col) (both engine permutations folded).
+    ``transform_chunks`` must match the value the forward ran with (its
+    chunked second transpose relabels the stored rows — _chunk_rowmap)."""
     a, c = _dist_split(n, n_dev)
     pa = _engine_perm(a)
     pc = _engine_perm(c)
     p = np.arange(n, dtype=np.int64)
-    return pa[p // c] + a * pc[p % c]
+    rows = p // c
+    if transform_chunks > 1:
+        rows = _chunk_rowmap(a, n_dev, transform_chunks)[rows]
+    return pa[rows] + a * pc[p % c]
 
 
 def _a2a_transpose(v, axis_name, n_dev):
@@ -203,6 +208,69 @@ def _a2a_transpose(v, axis_name, n_dev):
     # g: (..., D*rows_loc, cols/D) = all global rows x this device's column group
     g = g.reshape(*lead, n_dev * r_loc, cols_total // n_dev)
     return jnp.swapaxes(g, -1, -2)
+
+
+def _a2a_transpose_chunked(v, axis_name, n_dev, chunks):
+    """Forward chunked distributed transpose: slab the COLUMN axis into
+    ``chunks`` contiguous groups and all_to_all each slab independently,
+    concatenating results along the row axis. Each slab's collective has
+    its own dataflow chain, so XLA can fly slab g+1's all_to_all while
+    slab g's downstream FFT rows compute — comm/compute overlap WITHIN a
+    single distributed transform (the in-transform analog of
+    _pipeline_chunks_call). The price is a row relabeling: device d's
+    output row (g, t) holds global column g*(cols/chunks) +
+    d*(cols/(chunks*n_dev)) + t instead of d*(cols/n_dev) + t; callers
+    fold the relabeling into the spectrum order (_chunk_rowmap), and
+    :func:`_a2a_transpose_chunked_rev` with the SAME ``chunks`` inverts
+    it exactly (its per-slab outputs concatenate back in natural column
+    order)."""
+    if chunks == 1:
+        return _a2a_transpose(v, axis_name, n_dev)
+    cols = v.shape[-1]
+    if cols % (chunks * n_dev):
+        raise ValueError(
+            f"transform_chunks={chunks}: column count {cols} must divide "
+            f"by chunks*devices ({chunks * n_dev})"
+        )
+    w = cols // chunks
+    outs = [
+        _a2a_transpose(v[..., g * w : (g + 1) * w], axis_name, n_dev)
+        for g in range(chunks)
+    ]
+    return jnp.concatenate(outs, axis=-2)
+
+
+def _a2a_transpose_chunked_rev(v, axis_name, n_dev, chunks):
+    """Inverse of :func:`_a2a_transpose_chunked`: slab the ROW axis into
+    ``chunks`` groups (matching the forward's row relabeling), all_to_all
+    each, and concatenate along the column axis — which lands in natural
+    column order (the g/d digit swap cancels)."""
+    if chunks == 1:
+        return _a2a_transpose(v, axis_name, n_dev)
+    rows = v.shape[-2]
+    if rows % chunks:
+        raise ValueError(
+            f"transform_chunks={chunks}: local row count {rows} must "
+            f"divide by chunks"
+        )
+    w = rows // chunks
+    outs = [
+        _a2a_transpose(v[..., g * w : (g + 1) * w, :], axis_name, n_dev)
+        for g in range(chunks)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _chunk_rowmap(rows_total: int, n_dev: int, chunks: int) -> np.ndarray:
+    """rowmap[stored_global_row] = semantic row index under the chunked
+    second transpose: stored row (d, g, t) holds semantic row
+    g*(rows_total/chunks) + d*(rows_total/(chunks*n_dev)) + t."""
+    i = np.arange(rows_total, dtype=np.int64)
+    per_dev = rows_total // n_dev
+    per_chunk_dev = per_dev // chunks
+    d, rem = i // per_dev, i % per_dev
+    g, t = rem // per_chunk_dev, rem % per_chunk_dev
+    return g * (rows_total // chunks) + d * per_chunk_dev + t
 
 
 def _lead_spec(ndim: int, axis_name: str) -> P:
@@ -226,6 +294,7 @@ def sharded_fft_planes(
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
     pipeline_chunks: int = 1,
+    transform_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward complex FFTs of length N distributed over the mesh, batched.
 
@@ -236,11 +305,17 @@ def sharded_fft_planes(
     ``pipeline_chunks`` > 1 splits the leading batch axis into that many
     independent pipeline chunks so the all_to_all of one chunk can
     overlap the local FFTs of another (see _pipeline_chunks_call).
+    ``transform_chunks`` > 1 chunks the SECOND all_to_all inside each
+    transform (works unbatched too): slab g+1's collective can overlap
+    slab g's level-2 FFT rows. Changes the stored bin order — pass the
+    same value to :func:`spectrum_order` / :func:`sharded_ifft_planes`.
     """
     _check_pipelineable(re.ndim, pipeline_chunks)
     if pipeline_chunks > 1:
         return _pipeline_chunks_call(
-            lambda r, i: sharded_fft_planes(r, i, mesh, axis_name),
+            lambda r, i: sharded_fft_planes(
+                r, i, mesh, axis_name, transform_chunks=transform_chunks
+            ),
             [re, im],
             pipeline_chunks,
         )
@@ -271,9 +346,11 @@ def sharded_fft_planes(
         fr, fi = _local_rows(_pf._cfft_pair, (gr, gi), a, FFT_FORWARD)
         # step 3: twiddle W_N^{-kq}; twr arrives as this device's (C/D, A) slab
         fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
-        # step 4: transpose back -> (A/D, C) rows q_loc
-        hr = _a2a_transpose(fr, axis_name, n_dev)
-        hi = _a2a_transpose(fi, axis_name, n_dev)
+        # step 4: transpose back -> (A/D, C) rows (chunked: slab g+1's
+        # all_to_all overlaps slab g's step-5 FFT rows; row relabeling is
+        # folded into spectrum_order)
+        hr = _a2a_transpose_chunked(fr, axis_name, n_dev, transform_chunks)
+        hi = _a2a_transpose_chunked(fi, axis_name, n_dev, transform_chunks)
         # step 5: length-C FFTs along the local k axis, engine-unordered:
         # position [q_row, t_col] holds X[perm_A(q_row) + A*perm_C(t_col)]
         yr, yi = _local_rows(_pf._cfft_pair, (hr, hi), c, FFT_FORWARD)
@@ -288,14 +365,19 @@ def sharded_ifft_planes(
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
     pipeline_chunks: int = 1,
+    transform_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Unscaled inverse consuming the distributed bin order of
     :func:`sharded_fft_planes`; returns time-contiguous (..., N) planes
-    (ifft(fft(x)) == N * x)."""
+    (ifft(fft(x)) == N * x). ``transform_chunks`` must MATCH the
+    forward's value (the chunked reverse transpose inverts the forward's
+    row relabeling exactly)."""
     _check_pipelineable(re.ndim, pipeline_chunks)
     if pipeline_chunks > 1:
         return _pipeline_chunks_call(
-            lambda r, i: sharded_ifft_planes(r, i, mesh, axis_name),
+            lambda r, i: sharded_ifft_planes(
+                r, i, mesh, axis_name, transform_chunks=transform_chunks
+            ),
             [re, im],
             pipeline_chunks,
         )
@@ -320,8 +402,8 @@ def sharded_ifft_planes(
         # mirror of the forward: the reverse pipelines natively consume
         # the engine-unordered layouts the forward emitted
         hr, hi = _local_rows(_pf._cfft_pair, (yr, yi), c, FFT_BACKWARD)
-        fr = _a2a_transpose(hr, axis_name, n_dev)
-        fi = _a2a_transpose(hi, axis_name, n_dev)
+        fr = _a2a_transpose_chunked_rev(hr, axis_name, n_dev, transform_chunks)
+        fi = _a2a_transpose_chunked_rev(hi, axis_name, n_dev, transform_chunks)
         fr, fi = fr * twr - fi * twi, fr * twi + fi * twr
         gr, gi = _local_rows(_pf._cfft_pair, (fr, fi), a, FFT_BACKWARD)
         xr = _a2a_transpose(gr, axis_name, n_dev)
@@ -352,10 +434,13 @@ def sharded_ifft_planes(
 # ---------------------------------------------------------------------------
 
 
-def _rdist_rows(a: int, n_dev: int) -> int:
-    """A/2+1 spectral rows padded up to a multiple of the device count."""
+def _rdist_rows(a: int, n_dev: int, chunks: int = 1) -> int:
+    """A/2+1 spectral rows padded up to a multiple of the device count
+    (times the transform-chunk count, so chunked second transposes slab
+    evenly — the padding rows are zero either way)."""
     r = a // 2 + 1
-    return -(-r // n_dev) * n_dev
+    q = n_dev * chunks
+    return -(-r // q) * q
 
 
 @functools.lru_cache(maxsize=16)
@@ -375,18 +460,25 @@ def _rdist_tables(n: int, a: int):
     )
 
 
-def rspectrum_order(n: int, n_dev: int) -> np.ndarray:
+def rspectrum_order(n: int, n_dev: int, transform_chunks: int = 1) -> np.ndarray:
     """perm[p] = index into the FULL length-N spectrum of the bin stored at
     flat position p of the distributed packed real spectrum (-1 for the
     zero padding rows). Rows 0 and A/2 hold their whole Hermitian line, so
     values > N/2 appear there (stored values equal conj(X[N - perm[p]]) ==
     X[perm[p]] for real input)."""
     a, c = _dist_split(n, n_dev)
-    rows_p = _rdist_rows(a, n_dev)
+    rows_p = _rdist_rows(a, n_dev, transform_chunks)
     pc = _engine_perm(c)
     out = np.full(rows_p * c, -1, dtype=np.int64)
-    for r in range(a // 2 + 1):
-        out[r * c : (r + 1) * c] = r + a * pc
+    rowmap = (
+        _chunk_rowmap(rows_p, n_dev, transform_chunks)
+        if transform_chunks > 1
+        else np.arange(rows_p, dtype=np.int64)
+    )
+    for stored in range(rows_p):
+        r = rowmap[stored]
+        if r <= a // 2:
+            out[stored * c : (stored + 1) * c] = r + a * pc
     return out
 
 
@@ -395,21 +487,28 @@ def sharded_rfft_planes(
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
     pipeline_chunks: int = 1,
+    transform_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed real forward FFT, batched: (..., N) real float32 with
     the last axis time-sharded -> distributed packed real spectrum planes
     (..., rows_p * C), sharded over the same axis. Unscaled.
-    ``pipeline_chunks``: see :func:`sharded_fft_planes`."""
+    ``pipeline_chunks`` / ``transform_chunks``: see
+    :func:`sharded_fft_planes` (the chunked row order is exposed by
+    ``rspectrum_order(n, n_dev, transform_chunks)``)."""
     _check_pipelineable(x.ndim, pipeline_chunks)
     if pipeline_chunks > 1:
         return _pipeline_chunks_call(
-            lambda v: sharded_rfft_planes(v, mesh, axis_name), [x], pipeline_chunks
+            lambda v: sharded_rfft_planes(
+                v, mesh, axis_name, transform_chunks=transform_chunks
+            ),
+            [x],
+            pipeline_chunks,
         )
     n = x.shape[-1]
     n_dev = mesh.shape[axis_name]
     a, c = _dist_split(n, n_dev)
     half_a = a // 2
-    rows_p = _rdist_rows(a, n_dev)
+    rows_p = _rdist_rows(a, n_dev, transform_chunks)
     twr_h, twi_h, nytr_h, nyti_h = _rdist_tables(n, a)
     rows_loc = a // n_dev
     lead = x.shape[:-1]
@@ -444,8 +543,9 @@ def sharded_rfft_planes(
         lvl_re = jnp.concatenate([dc, mid_re, ny * nytr, z], axis=-1)
         lvl_im = jnp.concatenate([jnp.zeros_like(dc), mid_im, ny * nyti, z], axis=-1)
         # step 4: transpose back -> (..., rows_p/D, C) spectral rows
-        hr = _a2a_transpose(lvl_re, axis_name, n_dev)
-        hi = _a2a_transpose(lvl_im, axis_name, n_dev)
+        # (chunked: see sharded_fft_planes step 4)
+        hr = _a2a_transpose_chunked(lvl_re, axis_name, n_dev, transform_chunks)
+        hi = _a2a_transpose_chunked(lvl_im, axis_name, n_dev, transform_chunks)
         # step 5: length-C FFTs along the local row, engine-unordered
         yr, yi = _local_rows(_pf._cfft_pair, (hr, hi), c, FFT_FORWARD)
         return yr.reshape(*lead, -1), yi.reshape(*lead, -1)
@@ -466,23 +566,27 @@ def sharded_irfft_planes(
     n: int,
     axis_name: str = TIME_AXIS,
     pipeline_chunks: int = 1,
+    transform_chunks: int = 1,
 ) -> jax.Array:
     """Unscaled inverse of :func:`sharded_rfft_planes`: distributed packed
     real spectrum planes -> time-sharded (..., N) real float32
     (irfft(rfft(x)) == N * x). ``n`` is the signal length (the padded
     spectrum planes do not determine it).
-    ``pipeline_chunks``: see :func:`sharded_fft_planes`."""
+    ``pipeline_chunks`` / ``transform_chunks`` (must match the forward's):
+    see :func:`sharded_fft_planes`."""
     _check_pipelineable(re.ndim, pipeline_chunks)
     if pipeline_chunks > 1:
         return _pipeline_chunks_call(
-            lambda r, i: sharded_irfft_planes(r, i, mesh, n, axis_name),
+            lambda r, i: sharded_irfft_planes(
+                r, i, mesh, n, axis_name, transform_chunks=transform_chunks
+            ),
             [re, im],
             pipeline_chunks,
         )
     n_dev = mesh.shape[axis_name]
     a, c = _dist_split(n, n_dev)
     half_a = a // 2
-    rows_p = _rdist_rows(a, n_dev)
+    rows_p = _rdist_rows(a, n_dev, transform_chunks)
     twr_h, twi_h, nytr_h, nyti_h = _rdist_tables(n, a)
     lead = re.shape[:-1]
     spec = _lead_spec(re.ndim, axis_name)
@@ -500,9 +604,14 @@ def sharded_irfft_planes(
         yi = im_loc.reshape(*lead, rows_p // n_dev, c)
         # mirror of forward step 5: backward C-FFTs consume the unordered bins
         hr, hi = _local_rows(_pf._cfft_pair, (yr, yi), c, FFT_BACKWARD)
-        # transpose -> (..., C/D, rows_p); slice off the padding rows
-        ur = _a2a_transpose(hr, axis_name, n_dev)[..., : half_a + 1]
-        ui = _a2a_transpose(hi, axis_name, n_dev)[..., : half_a + 1]
+        # transpose -> (..., C/D, rows_p) in natural row order (the chunked
+        # reverse inverts the forward's relabeling); slice padding rows
+        ur = _a2a_transpose_chunked_rev(hr, axis_name, n_dev, transform_chunks)[
+            ..., : half_a + 1
+        ]
+        ui = _a2a_transpose_chunked_rev(hi, axis_name, n_dev, transform_chunks)[
+            ..., : half_a + 1
+        ]
         # un-twiddle and rebuild the local packed level-1 planes (the
         # backward C-FFT carries a factor C; imag parts of DC/Nyquist rows
         # cancel analytically)
@@ -538,6 +647,7 @@ def sharded_rfft_convolve(
     axis_name: str = TIME_AXIS,
     scaling: float | jax.Array | None = None,
     pipeline_chunks: int = 1,
+    transform_chunks: int = 1,
 ) -> jax.Array:
     """Circular convolution of real length-N signals, fully distributed
     and batched: two distributed real forwards, an elementwise spectral
@@ -549,13 +659,17 @@ def sharded_rfft_convolve(
     """
     n = x.shape[-1]
     s = (1.0 / n) if scaling is None else scaling
-    ar, ai = sharded_rfft_planes(x, mesh, axis_name, pipeline_chunks)
+    ar, ai = sharded_rfft_planes(
+        x, mesh, axis_name, pipeline_chunks, transform_chunks
+    )
     br, bi = sharded_rfft_planes(
-        h, mesh, axis_name, pipeline_chunks if h.ndim > 1 else 1
+        h, mesh, axis_name, pipeline_chunks if h.ndim > 1 else 1, transform_chunks
     )
     pr = (ar * br - ai * bi) * s
     pi = (ar * bi + ai * br) * s
-    return sharded_irfft_planes(pr, pi, mesh, n, axis_name, pipeline_chunks)
+    return sharded_irfft_planes(
+        pr, pi, mesh, n, axis_name, pipeline_chunks, transform_chunks
+    )
 
 
 def sharded_fft_convolve(
@@ -567,6 +681,7 @@ def sharded_fft_convolve(
     axis_name: str = TIME_AXIS,
     scaling: float | jax.Array | None = None,
     pipeline_chunks: int = 1,
+    transform_chunks: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Circular convolution of two length-N complex signals, everything
     distributed: two sharded forward FFTs, an elementwise spectral product
@@ -579,10 +694,15 @@ def sharded_fft_convolve(
     """
     n = x_re.shape[-1]
     s = (1.0 / n) if scaling is None else scaling
-    ar, ai = sharded_fft_planes(x_re, x_im, mesh, axis_name, pipeline_chunks)
+    ar, ai = sharded_fft_planes(
+        x_re, x_im, mesh, axis_name, pipeline_chunks, transform_chunks
+    )
     br, bi = sharded_fft_planes(
-        h_re, h_im, mesh, axis_name, pipeline_chunks if h_re.ndim > 1 else 1
+        h_re, h_im, mesh, axis_name,
+        pipeline_chunks if h_re.ndim > 1 else 1, transform_chunks,
     )
     pr = (ar * br - ai * bi) * s
     pi = (ar * bi + ai * br) * s
-    return sharded_ifft_planes(pr, pi, mesh, axis_name, pipeline_chunks)
+    return sharded_ifft_planes(
+        pr, pi, mesh, axis_name, pipeline_chunks, transform_chunks
+    )

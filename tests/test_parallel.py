@@ -313,8 +313,9 @@ def test_dist_fft_pipeline_chunks(rng):
             if e.primitive.name == "all_to_all":
                 c += 1
             for v in e.params.values():
-                inner = getattr(v, "jaxpr", None)
-                if inner is not None:
+                # params hold either raw Jaxprs (shard_map) or ClosedJaxprs
+                inner = v if hasattr(v, "eqns") else getattr(v, "jaxpr", None)
+                if inner is not None and hasattr(inner, "eqns"):
                     c += count_a2a(inner)
         return c
 
@@ -339,6 +340,74 @@ def test_dist_fft_pipeline_chunks(rng):
     )
     assert np.abs(np.asarray(cr1) - np.asarray(cr2)).max() < 2e-7 * n
     assert np.abs(np.asarray(ci1) - np.asarray(ci2)).max() < 2e-7 * n
+
+
+def test_dist_fft_transform_chunks(rng):
+    """Round 3: transform_chunks slabs the SECOND all_to_all inside one
+    distributed transform (works unbatched, unlike pipeline_chunks), so
+    slab g+1's collective can overlap slab g's level-2 FFT rows. The row
+    relabeling is exposed via spectrum_order/rspectrum_order and inverted
+    exactly by the matching inverse. Differential vs numpy, round trips,
+    jaxpr slab count, and the divisibility guard."""
+    import jax
+
+    from chowdsp_fft_tpu.parallel import dist_fft
+
+    n_dev, g = 8, 2
+    mesh = parallel.dsp_mesh(n_dev, axis=parallel.TIME_AXIS)
+    n = 1 << 16
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    re, im = dist_fft.sharded_fft_planes(
+        jnp.asarray(z.real), jnp.asarray(z.imag), mesh, transform_chunks=g
+    )
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(z.astype(np.complex128))
+    perm = dist_fft.spectrum_order(n, n_dev, transform_chunks=g)
+    assert np.abs(got - ref[perm]).max() < 2e-7 * n
+    # the chunked order really differs from the unchunked one
+    assert not np.array_equal(perm, dist_fft.spectrum_order(n, n_dev))
+    br, bi = dist_fft.sharded_ifft_planes(re, im, mesh, transform_chunks=g)
+    back = (np.asarray(br) + 1j * np.asarray(bi)) / n
+    assert np.abs(back - z).max() < 2e-7 * n
+
+    # real path: differential via rspectrum_order + round trip
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    rr, ri = dist_fft.sharded_rfft_planes(jnp.asarray(x), mesh, transform_chunks=g)
+    gotr = np.asarray(rr) + 1j * np.asarray(ri)
+    full = np.fft.fft(x.astype(np.float64), axis=-1)
+    rperm = dist_fft.rspectrum_order(n, n_dev, transform_chunks=g)
+    valid = rperm >= 0
+    exp = np.zeros_like(gotr, dtype=np.complex128)
+    exp[:, valid] = full[:, rperm[valid]]
+    assert np.abs(gotr - exp).max() < 2e-7 * n
+    xb = np.asarray(
+        dist_fft.sharded_irfft_planes(rr, ri, mesh, n, transform_chunks=g)
+    ) / n
+    assert np.abs(xb - x).max() < 2e-7 * n
+
+    # the traced forward contains 1 (first) + g (chunked second) a2a
+    def count_a2a(jx):
+        c = 0
+        for e in jx.eqns:
+            if e.primitive.name == "all_to_all":
+                c += 1
+            for v in e.params.values():
+                # params hold either raw Jaxprs (shard_map) or ClosedJaxprs
+                inner = v if hasattr(v, "eqns") else getattr(v, "jaxpr", None)
+                if inner is not None and hasattr(inner, "eqns"):
+                    c += count_a2a(inner)
+        return c
+
+    jx = jax.make_jaxpr(
+        lambda r, i: dist_fft.sharded_fft_planes(r, i, mesh, transform_chunks=g)
+    )(z.real, z.imag)
+    # two planes: (1 + g) per plane
+    assert count_a2a(jx.jaxpr) == 2 * (1 + g)
+
+    with pytest.raises(ValueError, match="must divide"):
+        dist_fft.sharded_fft_planes(
+            jnp.asarray(z.real), jnp.asarray(z.imag), mesh, transform_chunks=3
+        )
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
