@@ -373,6 +373,24 @@ def test_convolve_irfft_fused(rng):
         )(jnp.float32(1.0 / n))
     )
     assert np.abs(yt - refb).max() < tol(n)
+    # vmap over a leading axis (pallas_call batching + custom_vjp)
+    xv = rng.standard_normal((3, 2, n)).astype(np.float32)
+    hv = rng.standard_normal((2, n)).astype(np.float32)
+
+    def one(xi, hi):
+        ar, ai = cf.rfft_packed(xi, engine="pallas")
+        br, bi = cf.rfft_packed(hi, engine="pallas")
+        return cf.convolve_irfft_packed(ar, ai, br, bi, scaling=1.0 / n)
+
+    yv = np.asarray(jax.vmap(one, in_axes=(0, None))(jnp.asarray(xv), jnp.asarray(hv)))
+    refv = np.real(
+        np.fft.ifft(
+            np.fft.fft(xv.astype(np.float64), axis=-1)
+            * np.fft.fft(hv.astype(np.float64), axis=-1),
+            axis=-1,
+        )
+    )
+    assert np.abs(yv - refv).max() < tol(n)
 
 
 def test_convolve_irfft_fused_grad(rng):
