@@ -35,6 +35,7 @@ runtime's missing complex64 transfers.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -121,11 +122,11 @@ def _is_smooth_multiple(n: int) -> bool:
     return True
 
 
-def _has_composite_split(n: int) -> bool:
+def _has_composite_split(n: int, real: bool = False) -> bool:
     if n > _MAX_COMPOSITE:
         return False
     try:
-        _split_large(n)
+        _split_large(n, real)
     except InvalidSizeError:
         return False
     return True
@@ -148,12 +149,16 @@ def supports_plan(plan: FFTPlan) -> bool:
         return True
     if n < _MIN_SMALL:
         return False
-    if n <= _MAX_N:  # single Stockham kernel (fused real kernel: same bound)
-        return _is_smooth_multiple(n)
-    # Above the single kernel: the two-level HBM-staged composite — any
-    # {2,3,5}-smooth N that splits into two kernel-sized factors (parity
-    # with the reference's full size domain, common.hpp:216-225).
-    return _has_composite_split(n)
+    if n <= _MAX_N and _is_smooth_multiple(n):
+        return True  # single Stockham kernel (fused real kernel: same bound)
+    # Everything else runs as the two-level composite: kernel-sized factor
+    # pairs above the single-kernel bound, and direct-DFT factor pairs for
+    # the medium smooth sizes that are not multiples of 128 (576, 720, 960,
+    # ... — parity with the reference serving its entire size domain from
+    # the SIMD tier, common.hpp:216-225). Real plans additionally need both
+    # factors even (the packed level-1 real transform and the level-2
+    # Hermitian assembly both split a factor in half).
+    return _has_composite_split(n, real=plan.kind == FFT_REAL)
 
 
 def _interpret() -> bool:
@@ -1110,7 +1115,11 @@ def _col_tile(a: int, c: int, b: int) -> int:
 
 
 def _cols_supported(b: int, a: int, c: int) -> bool:
-    """The batch-folded block must fit VMEM comfortably."""
+    """The batch-folded block must fit VMEM comfortably (and the column
+    kernel exists only for Stockham-form A — direct-DFT levels use the
+    explicit-transpose branch)."""
+    if not _is_smooth_multiple(a):
+        return False
     tc = _col_tile(a, c, b)
     return tc >= 128 and c % tc == 0 and b * a * tc * 4 <= (8 << 20)
 
@@ -1780,12 +1789,22 @@ def _kernel_size_ok(x: int) -> bool:
     return _MIN_N <= x <= _MAX_N and _is_smooth_multiple(x)
 
 
-@functools.lru_cache(maxsize=64)
-def _split_large(n: int) -> tuple[int, int]:
-    """n = A * C with both factors single-kernel sizes, A >= C, as balanced
-    as possible. Any {2,3,5}-smooth n splits this way up to _MAX_COMPOSITE
-    (the reference's size domain is any {2,3,4,5} product,
-    /root/reference/simd/chowdsp_fft_impl_common.hpp:216-225)."""
+def _level_ok(x: int) -> bool:
+    """x can run as one composite level: a single Stockham kernel or the
+    direct-DFT matmul path."""
+    return _kernel_size_ok(x) or _small_dispatch(x)
+
+
+@functools.lru_cache(maxsize=128)
+def _split_large(n: int, real: bool = False) -> tuple[int, int]:
+    """n = A * C, A >= C, both factors composite-level sizes, as balanced
+    as possible. Kernel-kernel pairs are preferred (round-2 behavior,
+    unchanged for every size that has one); sizes without a kernel pair —
+    the medium smooth non-multiples of 128 (576, 720, 960, ...) — fall to
+    direct-DFT factor pairs. With ``real`` both factors must be even (the
+    real composite halves A for its packed level 1 and C for the Hermitian
+    assembly). The reference's size domain is any {2,3,4,5} product
+    (/root/reference/simd/chowdsp_fft_impl_common.hpp:216-225)."""
     best = None
     for a in range(_MIN_N, _MAX_N + 1, LANES):
         if n % a:
@@ -1797,13 +1816,24 @@ def _split_large(n: int) -> tuple[int, int]:
             # prefer the most balanced split (smallest a/c ratio)
             if best is None or a / c < best[0] / best[1]:
                 best = (a, c)
-    if best is None:
-        raise InvalidSizeError(
-            f"N={n} has no two-level composite split (need A*C with both "
-            f"factors {{2,3,5}}-smooth multiples of {LANES} in "
-            f"[{_MIN_N}, {_MAX_N}])"
-        )
-    return best
+    if best is not None:
+        return best
+    # No kernel pair: most balanced pair of level-capable factors (the
+    # first valid divisor at or above sqrt(n) is the most balanced).
+    hi = min(n // _MIN_SMALL, _MAX_N)
+    for a in range(math.isqrt(n - 1) + 1, hi + 1):
+        if n % a:
+            continue
+        c = n // a
+        if real and (a % 2 or c % 2):
+            continue
+        if _level_ok(a) and _level_ok(c):
+            return a, c
+    raise InvalidSizeError(
+        f"N={n} has no two-level composite split (need A*C with both "
+        f"factors single-kernel or direct-DFT sizes"
+        f"{', both even,' if real else ''} A in [{_MIN_SMALL}, {_MAX_N}])"
+    )
 
 
 def _kernel_perm(n: int) -> np.ndarray:
@@ -2161,8 +2191,11 @@ def _cfft_pair_large_v1(xre, xim, n, forward, ordered):
     # digit transpose) + ONE plain (A, C) <-> (C, A) transpose. The
     # alternative — unordered sub-FFTs + a single 5D digit-reversing
     # transpose — measured ~43x over bandwidth (XLA lowers it as a
-    # gather); see NOTES.md.
-    twr, twi = (jnp.asarray(t) for t in _large_twiddle(n, forward, folded=not ordered))
+    # gather); see NOTES.md. A direct-DFT level A emits natural bins even
+    # under ordered=False (its layout choice), so the k1 fold only applies
+    # when level A is a Stockham kernel.
+    folded = (not ordered) and not _small_dispatch(a)
+    twr, twi = (jnp.asarray(t) for t in _large_twiddle(n, forward, folded=folded))
     direction = FFT_FORWARD if forward else FFT_BACKWARD
 
     def col_major(z):  # (B, A, C) -> (B*C, A)
@@ -2236,7 +2269,10 @@ def _cfft_pair_impl(xre, xim, n, direction, ordered):
     if _small_dispatch(n):
         # Direct-DFT matmul; natural bin order either way (ordered flag moot).
         return _small_cfft_pair(xre, xim, n, forward)
-    if n > _MAX_N:
+    if n > _MAX_N or not _is_smooth_multiple(n):
+        # Above the single kernel, or a medium smooth non-multiple of 128
+        # (576, 960, ...): the two-level composite (direct-DFT levels for
+        # the medium sizes).
         return _cfft_pair_large(xre, xim, n, forward, ordered)
     if forward:
         yre, yim = _pallas_cfft_pair(xre, xim, n, forward=True, reverse_order=False)
@@ -2293,6 +2329,12 @@ def cfft_unordered(x, plan=None, direction=FFT_FORWARD):
 _MAX_FUSED_REAL = _MAX_N
 
 
+def _fused_real_ok(n: int) -> bool:
+    """n is served by a single fused real kernel (small direct or Stockham
+    form); everything else goes through the direct-real composite."""
+    return _small_dispatch(n) or (n <= _MAX_FUSED_REAL and _is_smooth_multiple(n))
+
+
 def rfft_packed(x, plan=None, ordered: bool = True):
     """Real FFT -> packed SoA half-spectrum planes ((..., N/2) f32 x2).
 
@@ -2305,9 +2347,10 @@ def rfft_packed(x, plan=None, ordered: bool = True):
     composite) complex engine; their "unordered" layout is the ordered one."""
     n = x.shape[-1]
     m = n // 2
-    if n > _MAX_FUSED_REAL:
+    if not _fused_real_ok(n):
         # Two-level direct-real composite (always ordered; a legal choice
-        # for the "unordered" layout as well).
+        # for the "unordered" layout as well): sizes beyond the fused
+        # kernel's VMEM bound AND the medium smooth non-multiples of 128.
         return _rfft_direct_composite(x)
     xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
     yre, yim = _pallas_rfft_packed(xf, n, ordered)
@@ -2318,7 +2361,7 @@ def irfft_packed(yre, yim, plan=None, ordered: bool = True):
     """Unscaled inverse of :func:`rfft_packed` -> (..., N) f32."""
     m = yre.shape[-1]
     n = 2 * m
-    if n > _MAX_FUSED_REAL:
+    if not _fused_real_ok(n):
         return _irfft_direct_composite(yre, yim)
     rf, batch_shape = _flatten_batch(yre.astype(jnp.float32))
     if_, _ = _flatten_batch(yim.astype(jnp.float32))
@@ -2358,7 +2401,7 @@ def _direct_real_tables(n: int):
     Returns (a, c, tw (A/2-1, C) for k1 in [1, A/2), nyt (1, C) =
     W_{2C}^{-c} — the half-bin modulation that turns the Nyquist row's
     shifted transform into a plain C-FFT)."""
-    a, c = _split_large(n)
+    a, c = _split_large(n, real=True)
     cc = np.arange(c, dtype=np.float64)[None, :]
     k1 = np.arange(1, a // 2, dtype=np.float64)[:, None]
     ang = -2.0 * np.pi * (k1 * cc) / float(n)
@@ -2387,7 +2430,7 @@ def _rdc_l2_twiddle(n: int, forward: bool):
     """(C, A/2) level-2 twiddle W_N^{sgn k1 c} for k1 in [0, A/2) — column 0
     is identically (1, 0), so the DC/Nyquist column rides the kernel
     untouched (and unused)."""
-    a, c = _split_large(n)
+    a, c = _split_large(n, real=True)
     sgn = -1.0 if forward else 1.0
     cc = np.arange(c, dtype=np.float64)[:, None]
     k1 = np.arange(a // 2, dtype=np.float64)[None, :]
@@ -2397,7 +2440,7 @@ def _rdc_l2_twiddle(n: int, forward: bool):
 
 def _rdc_v2_supported(n: int, b: int) -> bool:
     try:
-        a, c = _split_large(n)
+        a, c = _split_large(n, real=True)
     except InvalidSizeError:
         return False
     if (a // 2) % LANES:
@@ -2416,7 +2459,7 @@ def _v2_table(arr):
 
 
 def _rfft_direct_composite_v2(xf, n):
-    a, c = _split_large(n)
+    a, c = _split_large(n, real=True)
     b = xf.shape[0]
     half_a = a // 2
     n1c = c // LANES
@@ -2469,7 +2512,7 @@ def _rfft_direct_composite_v2(xf, n):
 
 
 def _irfft_direct_composite_v2(rf, if_, n):
-    a, c = _split_large(n)
+    a, c = _split_large(n, real=True)
     b = rf.shape[0]
     half_a = a // 2
     n1c = c // LANES

@@ -40,8 +40,14 @@ def test_supports_plan():
     assert pallas_fft.supports_plan(cf.make_plan(32, cf.FFT_REAL))
     assert pallas_fft.supports_plan(cf.make_plan(480, cf.FFT_COMPLEX))
     assert pallas_fft.supports_plan(cf.make_plan(320, cf.FFT_REAL))
-    # Above 512, non-multiples of 128 still fall back to the portable engine:
-    assert not pallas_fft.supports_plan(cf.make_plan(960, cf.FFT_COMPLEX))
+    # Round 3: medium smooth non-multiples of 128 run as direct-DFT
+    # composites — the metal engine covers the reference's entire size
+    # domain (impl_common.hpp:165-177 serves these from the SIMD tier too).
+    assert pallas_fft.supports_plan(cf.make_plan(960, cf.FFT_COMPLEX))
+    assert pallas_fft.supports_plan(cf.make_plan(960, cf.FFT_REAL))
+    assert pallas_fft.supports_plan(cf.make_plan(1458, cf.FFT_COMPLEX))
+    # ... except REAL plans whose every split has an odd factor (2*3^6):
+    assert not pallas_fft.supports_plan(cf.make_plan(1458, cf.FFT_REAL))
 
 
 @pytest.mark.parametrize("n", PALLAS_C_SIZES)
@@ -316,6 +322,79 @@ def test_composite_smooth_dispatch(rng):
     assert np.abs(back - x).max() < tol(n)
 
 
+@pytest.mark.parametrize("n", [576, 720, 960, 1440])
+def test_medium_composite_sizes(n, rng):
+    """Round 3 (VERDICT missing #2): the medium smooth non-multiples of 128
+    — the reference serves them from its SIMD tier (impl_common.hpp:165-177)
+    — dispatch to the metal engine as two-level direct-DFT composites.
+    Differential vs numpy f64, complex + real, ordered + unordered, plus
+    the packed-convolve pairing contract."""
+    assert cf.engine_for(n, cf.FFT_COMPLEX) == "pallas"
+    assert cf.engine_for(n, cf.FFT_REAL) == "pallas"
+    from chowdsp_fft_tpu.ops.pallas_fft import _small_dispatch, _split_large
+
+    a, c = _split_large(n)
+    assert a * c == n and _small_dispatch(a) and _small_dispatch(c)
+
+    z = rand_complex(rng, (3, n))
+    got = np.asarray(cf.fft(z, engine="pallas"))
+    ref = np.fft.fft(z.astype(np.complex128), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=tol(n), rtol=0)
+    back = np.asarray(cf.ifft(jnp.asarray(got), engine="pallas")) / n
+    np.testing.assert_allclose(back, z, atol=tol(n), rtol=0)
+
+    # Unordered pair round-trips (layout is engine-private; composition is
+    # the contract, chowdsp_fft.h:140-154).
+    zu = cf.fft_unordered(z, engine="pallas")
+    zb = np.asarray(cf.ifft_unordered(zu, engine="pallas")) / n
+    np.testing.assert_allclose(zb, z, atol=tol(n), rtol=0)
+
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    re, im = map(np.asarray, cf.rfft_packed(x, engine="pallas"))
+    rref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert np.abs(re[:, 0] - rref[:, 0].real).max() < tol(n)
+    assert np.abs(im[:, 0] - rref[:, -1].real).max() < tol(n)
+    assert np.abs((re[:, 1:] + 1j * im[:, 1:]) - rref[:, 1 : n // 2]).max() < tol(n)
+    xb = np.asarray(cf.irfft_packed(re, im, engine="pallas")) / n
+    np.testing.assert_allclose(xb, x, atol=tol(n), rtol=0)
+
+    # Packed convolve pairing through the unordered real pair.
+    h = rng.standard_normal((1, n)).astype(np.float32)
+    ar, ai = cf.rfft_packed_unordered(x, engine="pallas")
+    br, bi = cf.rfft_packed_unordered(h, engine="pallas")
+    pr, pi = cf.convolve_accumulate_packed((ar, ai), (br, bi))
+    y = np.asarray(cf.irfft_packed_unordered(pr, pi, engine="pallas")) / n
+    want = np.real(
+        np.fft.ifft(
+            np.fft.fft(x.astype(np.float64), axis=-1)
+            * np.fft.fft(h.astype(np.float64), axis=-1),
+            axis=-1,
+        )
+    )
+    np.testing.assert_allclose(y, want, atol=10 * tol(n), rtol=0)
+
+
+def test_medium_composite_grad(rng):
+    """Autodiff through the medium direct-DFT composite (real + complex
+    paths compose piecewise custom VJPs)."""
+    n = 576
+    x = rng.standard_normal((2, n)).astype(np.float32)
+
+    def loss(v):
+        re, im = cf.rfft_packed(v, engine="pallas")
+        return jnp.sum(re**2) + jnp.sum(im**2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    # Parseval: d/dx sum|X|^2 with the packed layout == 2N * x (DC/Nyq
+    # carry weight 1, paired bins appear once but conjugate-pair to 2).
+    eps = np.zeros_like(x)
+    eps[0, 7] = 1e-2
+    f0 = float(loss(jnp.asarray(x)))
+    f1 = float(loss(jnp.asarray(x + eps)))
+    fd = (f1 - f0) / 1e-2
+    assert abs(g[0, 7] - fd) < 2e-2 * max(1.0, abs(fd))
+
+
 def test_convolve_irfft_fused(rng):
     """Round 3: convolve_irfft_packed fuses the spectral product (with
     the packed DC/Nyq patch-up) into the inverse kernel. Checked vs the
@@ -527,28 +606,29 @@ def test_dispatch_matrix_covers_every_valid_size():
     — full parity with the reference's size domain, which has a single
     SIMD path for all of it (impl_common.hpp:216-225). Spot-checks the
     regime boundaries."""
-    from chowdsp_fft_tpu.ops.pallas_fft import (
-        _MAX_N,
-        _small_dispatch,
-        _is_smooth_multiple,
-    )
+    from chowdsp_fft_tpu.ops.pallas_fft import _MAX_N
 
+    # Round 3: EVERY valid complex size in the reference span dispatches to
+    # the metal engine — the medium smooth non-multiples of 128 (576, 720,
+    # 960, ...) now run as direct-DFT composites instead of falling back.
     for n in range(8, 4097):
         if not cf.is_valid_size(n, cf.FFT_COMPLEX):
             continue
-        expected = "pallas" if (
-            _small_dispatch(n) or _is_smooth_multiple(n)
-        ) else "stockham"
-        assert cf.engine_for(n, cf.FFT_COMPLEX) == expected, n
+        assert cf.engine_for(n, cf.FFT_COMPLEX) == "pallas", n
     # regime boundaries
     assert cf.engine_for(256, cf.FFT_COMPLEX) == "pallas"  # direct
     assert cf.engine_for(384, cf.FFT_COMPLEX) == "pallas"  # kernel
     assert cf.engine_for(480, cf.FFT_COMPLEX) == "pallas"  # direct fallback
-    assert cf.engine_for(576, cf.FFT_COMPLEX) == "stockham"  # gap size
+    assert cf.engine_for(576, cf.FFT_COMPLEX) == "pallas"  # medium composite
     assert cf.engine_for(640, cf.FFT_COMPLEX) == "pallas"  # 5*128 kernel
     assert cf.engine_for(_MAX_N, cf.FFT_COMPLEX) == "pallas"  # kernel cap
     assert cf.engine_for(1 << 18, cf.FFT_REAL) == "pallas"  # composite
     assert cf.engine_for(3 << 18, cf.FFT_REAL) == "pallas"  # smooth composite
+    # Real plans need an even/even split: 2*3^6 has none (single factor of
+    # 2), so the REAL transform keeps the portable fallback while the
+    # complex one runs on the metal engine.
+    assert cf.engine_for(1458, cf.FFT_COMPLEX) == "pallas"
+    assert cf.engine_for(1458, cf.FFT_REAL) == "stockham"
 
 
 def test_fuzz_random_sizes_and_batches(rng):

@@ -112,8 +112,11 @@ def tol(n):
 
 # Reference size constraints (SSE, w=4): complex N % 16 == 0, real N % 32
 # == 0 (chowdsp_fft_impl_common.hpp:165-177).
-COMPLEX_SIZES = [32, 64, 256, 1024, 4096, 480]
-REAL_SIZES = [32, 64, 256, 1024, 4096, 96, 480]
+# 480/960: smooth non-multiples of 128 the reference serves from its SIMD
+# tier (N % 16 == 0 complex / N % 32 == 0 real, impl_common.hpp:165-177) —
+# ours run the direct-DFT path (480) and the medium composite (960).
+COMPLEX_SIZES = [32, 64, 256, 1024, 4096, 480, 960]
+REAL_SIZES = [32, 64, 256, 1024, 4096, 96, 480, 960]
 
 
 @pytest.mark.parametrize("n", COMPLEX_SIZES)
