@@ -46,7 +46,35 @@ def roofline_msamples() -> tuple[float, float]:
     return BATCH * N / r.seconds_memory / 1e6, r.samples_per_s_serial / 1e6
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """The axon tunnel hangs backend init forever during outages (no error,
+    no timeout — skills/verify gotchas). Probe in a subprocess so the bench
+    emits an explicit JSON error line instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(float(jax.numpy.sum(jax.numpy.ones((8,128)))))"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return "1024" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": f"rfft N={N} batch={BATCH} throughput (1 chip)",
+            "value": 0.0,
+            "unit": "Msamples/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend init hung (axon tunnel outage); no measurement taken",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
     import chowdsp_fft_tpu as cf
