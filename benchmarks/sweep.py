@@ -110,8 +110,10 @@ def config2_sweep(results, quick=False):
     rng = np.random.default_rng(2)
     rows = []
     # 2^5..2^20: same span as the reference's bench (2^5..2^19,
-    # /root/reference/bench/bench.cpp:131-138) plus the BASELINE 2^20 row.
-    sizes = [2**e for e in range(5, 21)]
+    # /root/reference/bench/bench.cpp:131-138) plus the BASELINE 2^20 row,
+    # plus two medium smooth non-multiples of 128 (round 3: direct-DFT
+    # composite coverage — sizes the reference serves from its SIMD tier).
+    sizes = [2**e for e in range(5, 21)] + [960, 3600]
     if quick:
         sizes = [64, 4096, 65536]
     work = 1 << 22  # keep B*N constant
@@ -196,8 +198,9 @@ def config2_sweep(results, quick=False):
                 "rfft_fwd_vs_governing": round(rf_ms / roof_gov, 4),
             }
         )
+        lbl = f"2^{n.bit_length()-1}" if n & (n - 1) == 0 else str(n)
         print(
-            f"config2: N=2^{n.bit_length()-1} B={b}: rfft fwd {rf_ms:9.1f} "
+            f"config2: N={lbl} B={b}: rfft fwd {rf_ms:9.1f} "
             f"rt {r_ms:9.1f} Ms/s  cfft fwd {cf_ms:9.1f} rt {c_ms:9.1f} Ms/s  "
             f"(fwd {rows[-1]['rfft_fwd_vs_mem_roofline']:.2f} of mem, "
             f"{rows[-1]['rfft_fwd_vs_governing']:.2f} of governing)"
@@ -441,8 +444,10 @@ def main():
         "|---|---|---|---|---|---|---|---|",
     ]
     for r in results["config2"]["rows"]:
+        n_ = r["N"]
+        lbl = f"2^{n_.bit_length()-1}" if isinstance(n_, int) and n_ & (n_ - 1) == 0 else str(n_)
         md.append(
-            f"| 2^{r['N'].bit_length()-1 if isinstance(r['N'], int) else r['N']} "
+            f"| {lbl} "
             f"| {r['batch']} | {r['rfft_fwd_Msps']} | {r['rfft_rt_Msps']} "
             f"| {r['cfft_fwd_Msps']} | {r['cfft_rt_Msps']} "
             f"| {r['rfft_fwd_vs_mem_roofline']} | {r['rfft_fwd_vs_governing']} |"
