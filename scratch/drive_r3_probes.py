@@ -62,6 +62,15 @@ if "A" in SECTIONS:
     # HBM floor probe: pure copy-scale at the same shape (2 passes)
     t = t_us(lambda v: v * 1.0000001, x)
     print(f"  copy-scale floor: {t:.1f} us (model {b*n*8/819e9*1e6:.1f})", flush=True)
+    # Candidate fix (VERDICT r2 weak #6): direct-DFT at 512 — dense
+    # (512,512) column-packed matmul instead of the n1=4 Stockham kernel.
+    orig_sd = pf._small_dispatch
+    for rep in range(2):
+        for name, on in (("stockham", False), ("direct512", True)):
+            pf._small_dispatch = (lambda nn: nn == 512 or orig_sd(nn)) if on else orig_sd
+            t = t_us(lambda v: fwd_body(v), x)
+            print(f"  {name} rep{rep}: fwd {t:.1f} us = {b*n/t:.0f} Ms/s", flush=True)
+    pf._small_dispatch = orig_sd
     # neighbors for context
     for nn in (256, 1024):
         bb = (1 << 22) // nn
