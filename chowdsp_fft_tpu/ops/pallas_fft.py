@@ -2061,6 +2061,32 @@ def _v2_supported(n: int, b: int) -> bool:
     return _v2_tile(b, a, c) > 0 and _v2_tile(b, c, a) > 0
 
 
+def _v2_batch_cap(n: int) -> int:
+    """Largest batch for which both v2 stage blocks fit the VMEM cap — the
+    batch-INDEPENDENT v2 gate (cap > 0 iff the plan has a v2 at any batch;
+    bigger batches run the same kernels in batch chunks). This is what the
+    unordered dispatch must key on: a composite plan's unordered layout is
+    contractual per PLAN, so fft_unordered(h, batch=1) must compose with
+    ifft_unordered after convolving against fft_unordered(x, batch=64) —
+    a batch-gated v1/v2 choice would hand the two calls incompatible bin
+    orders (natural vs digit-transposed)."""
+    try:
+        a, c = _split_large(n)
+    except InvalidSizeError:
+        return 0
+    if a % LANES or c % LANES:
+        return 0
+    row_bytes = 4 * LANES  # one batch row of a 128-wide fp32 minor tile
+    return min(_V2_BLOCK_BYTES // (a * row_bytes), _V2_BLOCK_BYTES // (c * row_bytes))
+
+
+def _v2_table(arr):
+    """(array, block, index_map) triple for a fully-replicated kernel table."""
+    shape = arr.shape
+    zeros = (0,) * len(shape)
+    return (arr, shape, lambda k, z=zeros: z)
+
+
 def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_idx, out_shape):
     """Shared pallas_call driver for the composite-v2 kernels: 1-D grid over
     minor tiles (a 2-D grid with leading-1 blocks costs 199s of Mosaic
@@ -2105,11 +2131,7 @@ def _cfft_composite_v2(xre, xim, n, forward):
     n1a, n1c = a // LANES, c // LANES
     tc = _v2_tile(b, a, c)
     ta = _v2_tile(b, c, a)
-
-    def table(arr):
-        shape = arr.shape
-        zeros = (0,) * len(shape)
-        return (arr, shape, lambda k, z=zeros: z)
+    table = _v2_table
 
     if forward:
         rad_a, (stwa_re, stwa_im), (dfta_re, dfta_im) = _tables_fwd_folded(a)
@@ -2175,11 +2197,33 @@ def _cfft_composite_v2(xre, xim, n, forward):
     return yr.reshape(b, n), yi.reshape(b, n)
 
 
+def _cfft_composite_v2_batched(xre, xim, n, forward):
+    """v2 for any batch: the stage blocks cap VMEM per batch row, so
+    batches beyond _v2_batch_cap run the same two kernels over trace-time
+    batch chunks (identical natural-order layout per chunk; the concat is
+    one extra HBM pass against the v1 chain's ~5 extra round trips)."""
+    return _batch_chunked(
+        lambda r, i: _cfft_composite_v2(r, i, n, forward),
+        (xre, xim),
+        _v2_batch_cap(n),
+    )
+
+
 def _cfft_pair_large(xre, xim, n, forward, ordered):
-    if _v2_supported(n, xre.shape[0]):
-        # v2 is natural-order in both directions; a composite plan's
-        # "unordered" layout is thus the ordered one (legal per-plan
-        # choice), so the flag is moot here.
+    b = xre.shape[0]
+    cap = _v2_batch_cap(n)
+    if not ordered and cap and _v2_supported(n, min(b, cap)):
+        # The unordered layout is contractual per PLAN (same as the
+        # reference: pffft z-domain data from one setup convolves across
+        # calls), so the choice must not depend on this call's batch:
+        # always v2's natural order, batch-chunked when the blocks don't
+        # fit VMEM at this batch. A batch-gated v1 fallback here would
+        # emit the digit-transposed order for large batches and silently
+        # corrupt cross-batch convolve compositions (round-3 review).
+        return _cfft_composite_v2_batched(xre, xim, n, forward)
+    if ordered and _v2_supported(n, b):
+        # Ordered output: v1 and v2 agree on the layout, so the
+        # batch-gated pick is purely a perf choice here.
         return _cfft_composite_v2(xre, xim, n, forward)
     return _cfft_pair_large_v1(xre, xim, n, forward, ordered)
 
@@ -2452,10 +2496,33 @@ def _rdc_v2_supported(n: int, b: int) -> bool:
     )
 
 
-def _v2_table(arr):
-    shape = arr.shape
-    zeros = (0,) * len(shape)
-    return (arr, shape, lambda k, z=zeros: z)
+def _rdc_batch_cap(n: int) -> int:
+    """Real-composite analog of :func:`_v2_batch_cap`: the largest batch
+    for which the v2 stage blocks (column-blocked level-1 and both
+    level-2 kernels) fit their VMEM caps; bigger batches run the same
+    kernels over trace-time batch chunks instead of falling back to the
+    ~6-round-trip v1 chain. Both paths emit the same ORDERED planes, so
+    unlike the complex case this is purely a perf choice."""
+    try:
+        a, c = _split_large(n, real=True)
+    except InvalidSizeError:
+        return 0
+    if (a // 2) % LANES or c % LANES or not _is_smooth_multiple(a):
+        return 0
+    row_bytes = 4 * LANES
+    return min(_V2_BLOCK_BYTES // (a * row_bytes), _V2_BLOCK_BYTES // (c * row_bytes))
+
+
+def _batch_chunked(fn, arrays, cap):
+    """Apply fn over trace-time batch chunks of size <= cap, concatenating
+    the outputs (tuple-valued fns concat per element)."""
+    b = arrays[0].shape[0]
+    if b <= cap:
+        return fn(*arrays)
+    outs = [fn(*(arr[i : i + cap] for arr in arrays)) for i in range(0, b, cap)]
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _rfft_direct_composite_v2(xf, n):
@@ -2633,8 +2700,9 @@ def _rfft_direct_composite(x):
     remains as the fallback and cross-check."""
     n = x.shape[-1]
     xf, batch_shape = _flatten_batch(x.astype(jnp.float32))
-    if _rdc_v2_supported(n, xf.shape[0]):
-        out_r, out_i = _rdc_fwd(xf, n)
+    cap = _rdc_batch_cap(n)
+    if cap and _rdc_v2_supported(n, min(xf.shape[0], cap)):
+        out_r, out_i = _batch_chunked(lambda v: _rdc_fwd(v, n), (xf,), cap)
         m = n // 2
         return out_r.reshape(*batch_shape, m), out_i.reshape(*batch_shape, m)
     return _rfft_direct_composite_v1(x)
@@ -2646,8 +2714,10 @@ def _irfft_direct_composite(yre, yim):
     n = 2 * yre.shape[-1]
     rf, batch_shape = _flatten_batch(yre.astype(jnp.float32))
     if_, _ = _flatten_batch(yim.astype(jnp.float32))
-    if _rdc_v2_supported(n, rf.shape[0]):
-        return _rdc_inv(rf, if_, n).reshape(*batch_shape, n)
+    cap = _rdc_batch_cap(n)
+    if cap and _rdc_v2_supported(n, min(rf.shape[0], cap)):
+        out = _batch_chunked(lambda r, i: _rdc_inv(r, i, n), (rf, if_), cap)
+        return out.reshape(*batch_shape, n)
     return _irfft_direct_composite_v1(yre, yim)
 
 

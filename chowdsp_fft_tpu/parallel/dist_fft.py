@@ -75,16 +75,19 @@ def _dist_ok_len(x: int) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _dist_split(n: int, n_dev: int) -> tuple[int, int]:
+def _dist_split(n: int, n_dev: int, real: bool = False) -> tuple[int, int]:
     """n = A * C, both factors engine-supported local row lengths
     (_dist_ok_len) and divisible by n_dev; the most balanced such split.
     Any {2,3,5}-smooth n (the reference's full size domain,
     /root/reference/simd/chowdsp_fft_impl_common.hpp:216-225) with big
-    enough factors shards; pow2 is the common case, not a requirement."""
+    enough factors shards; pow2 is the common case, not a requirement.
+    With ``real`` the level-1 factor A must be even: the local transforms
+    are packed real FFTs of length A (half_a = A//2 planes, DC/Nyquist
+    rows) — an odd A would silently corrupt the spectrum."""
     err = ValueError(
         f"cannot shard N={n} over {n_dev} devices (need A*C with both "
         f"factors {{2,3,5}}-smooth, >= {_MIN_FACTOR}, <= {_pf._MAX_N}, "
-        f"divisible by {n_dev})"
+        f"divisible by {n_dev}{', A even for the real transform' if real else ''})"
     )
     if n <= 0:
         raise err
@@ -105,6 +108,8 @@ def _dist_split(n: int, n_dev: int) -> tuple[int, int]:
                 a = (2**e2) * (3**e3) * (5**e5)
                 c = n // a
                 if a < c:
+                    continue
+                if real and a % 2:
                     continue
                 if a % n_dev or c % n_dev:
                     continue
@@ -466,7 +471,7 @@ def rspectrum_order(n: int, n_dev: int, transform_chunks: int = 1) -> np.ndarray
     zero padding rows). Rows 0 and A/2 hold their whole Hermitian line, so
     values > N/2 appear there (stored values equal conj(X[N - perm[p]]) ==
     X[perm[p]] for real input)."""
-    a, c = _dist_split(n, n_dev)
+    a, c = _dist_split(n, n_dev, real=True)
     rows_p = _rdist_rows(a, n_dev, transform_chunks)
     pc = _engine_perm(c)
     out = np.full(rows_p * c, -1, dtype=np.int64)
@@ -506,7 +511,7 @@ def sharded_rfft_planes(
         )
     n = x.shape[-1]
     n_dev = mesh.shape[axis_name]
-    a, c = _dist_split(n, n_dev)
+    a, c = _dist_split(n, n_dev, real=True)
     half_a = a // 2
     rows_p = _rdist_rows(a, n_dev, transform_chunks)
     twr_h, twi_h, nytr_h, nyti_h = _rdist_tables(n, a)
@@ -584,7 +589,7 @@ def sharded_irfft_planes(
             pipeline_chunks,
         )
     n_dev = mesh.shape[axis_name]
-    a, c = _dist_split(n, n_dev)
+    a, c = _dist_split(n, n_dev, real=True)
     half_a = a // 2
     rows_p = _rdist_rows(a, n_dev, transform_chunks)
     twr_h, twi_h, nytr_h, nyti_h = _rdist_tables(n, a)

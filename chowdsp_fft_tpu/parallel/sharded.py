@@ -33,17 +33,13 @@ __all__ = [
 ]
 
 
-def halo_exchange_left(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
-    """Inside shard_map: prepend each device's chunk with the last `halo`
-    samples of its left neighbor (zeros on device 0). x_local: (..., T_loc).
-
-    Shapes are static, so misuse fails loudly at trace time: halo == 0 is
-    a no-op (`x[..., -0:]` would silently select the WHOLE chunk), and a
-    halo longer than the local shard needs a multi-hop exchange this
-    single-ppermute implementation does not do.
-    """
-    if halo == 0:
-        return x_local
+def _ship_tail_left(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Inside shard_map: the last `halo` samples of the LEFT neighbor's
+    chunk (zeros on device 0) — one guarded single-hop ppermute, shared by
+    the concat-style exchange and the overlap-friendly boundary-correction
+    path. Shapes are static, so misuse fails loudly at trace time: a halo
+    longer than the local shard needs a multi-hop exchange this
+    single-ppermute implementation does not do."""
     t_loc = x_local.shape[-1]
     if halo > t_loc:
         raise ValueError(
@@ -54,7 +50,17 @@ def halo_exchange_left(x_local: jax.Array, halo: int, axis_name: str) -> jax.Arr
     tail = x_local[..., -halo:]
     # send tail of device i to device i+1 (no wraparound: device 0 gets 0s)
     perm = [(i, i + 1) for i in range(n - 1)]
-    left = jax.lax.ppermute(tail, axis_name, perm)
+    return jax.lax.ppermute(tail, axis_name, perm)
+
+
+def halo_exchange_left(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Inside shard_map: prepend each device's chunk with the last `halo`
+    samples of its left neighbor (zeros on device 0). x_local: (..., T_loc).
+    halo == 0 is a no-op (`x[..., -0:]` would silently select the WHOLE
+    chunk)."""
+    if halo == 0:
+        return x_local
+    left = _ship_tail_left(x_local, halo, axis_name)
     return jnp.concatenate([left, x_local], axis=-1)
 
 
@@ -94,22 +100,13 @@ def _sharded_stream_filter(
         check_vma=False,
     )
     def run(xl, hl):
-        t_loc = xl.shape[-1]
         if halo == 0:
             return local_filter(xl, hl)
-        if halo > t_loc:
-            raise ValueError(
-                f"halo ({halo}) exceeds the local shard length ({t_loc}); "
-                "use fewer devices or longer shards (single-hop halo exchange)"
-            )
-        n = jax.lax.axis_size(axis_name)
         # Main path: independent of the collective (overlappable).
         y_main = local_filter(xl, hl)
         # Halo path: ship the tail, then a small boundary-correction filter
         # y[t] += sum_k h[k] * tail[halo + t - k] for t < halo.
-        tail = xl[..., -halo:]
-        perm = [(i, i + 1) for i in range(n - 1)]
-        left = jax.lax.ppermute(tail, axis_name, perm)
+        left = _ship_tail_left(xl, halo, axis_name)
         pad = [(0, 0)] * (xl.ndim - 1) + [(0, halo)]
         corr = local_filter(jnp.pad(left, pad), hl)[..., halo:]
         return jnp.concatenate([y_main[..., :halo] + corr, y_main[..., halo:]], axis=-1)

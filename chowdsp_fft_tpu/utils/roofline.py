@@ -79,6 +79,24 @@ class Roofline:
 # plain constant so utils stays import-light — tests/test_roofline.py pins
 # the two in sync).
 SINGLE_KERNEL_MAX_N = 131072
+_MAX_DIRECT_N = 511  # mirrors ops.pallas_fft._MAX_SMALL_FALLBACK
+
+
+def _single_kernel(n: int) -> bool:
+    """Mirrors the metal engine's dispatch tier: one kernel for the
+    direct-DFT domain (<= 511) and for {2,3,5}-smooth multiples of 128 up
+    to the single-kernel ceiling; every other size runs the two-level
+    HBM-staged composite (two round trips per direction). Pinned to the
+    engine's predicates by tests/test_roofline.py."""
+    if n <= _MAX_DIRECT_N:
+        return True
+    if n > SINGLE_KERNEL_MAX_N or n % 128:
+        return False
+    m = n // 128
+    for p in (2, 3, 5):
+        while m % p == 0:
+            m //= p
+    return m == 1
 
 
 def fft_roofline(
@@ -105,7 +123,7 @@ def fft_roofline(
     matmuls).
     """
     if levels is None:
-        levels = 1 if n <= SINGLE_KERNEL_MAX_N else 2
+        levels = 1 if _single_kernel(n) else 2
     if kind == "real":
         in_bytes = n * 4
         out_bytes = (n // 2 + 1) * 8

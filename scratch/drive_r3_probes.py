@@ -9,7 +9,11 @@ Sections (all same-process, interleaved A/B per the NOTES methodology):
   F. fused convolve_irfft_packed verify + A/B
   G. medium-N direct-DFT composite (576/960/1440) vs the portable engine
      (VERDICT r2 missing #2 "measured win over portable recorded in NOTES")
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scratch/drive_r3_probes.py [A B C D E F G]
+  H. batch-chunked composite v2 (the unordered layout fix) on chip:
+     numeric at N=196608 cross-batch convolve + A/B chunked-v2 vs v1 at
+     2^18 b=64 (if chunked v2 wins, flip the ORDERED large-batch dispatch
+     to it too)
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scratch/drive_r3_probes.py [A B C D E F G H]
 """
 import sys
 
@@ -316,5 +320,86 @@ if "G" in SECTIONS:
             print(f"  N={n} B={b} rep{rep}: pallas {p:.1f} us, portable "
                   f"{s:.1f} us ({s/p:.2f}x) = {b*n/(p/2):.0f} Ms/s/dir",
                   flush=True)
+
+if "H" in SECTIONS:
+    print("\n== H: batch-chunked composite v2 ==", flush=True)
+    # numeric: the layout-fix contract on real silicon — cross-batch
+    # unordered convolve at a size where batch 64 chunks (cap=32) but
+    # batch 1 does not
+    n, b = 196608, 64
+    assert pf._v2_batch_cap(n) < b <= 2 * pf._v2_batch_cap(n), pf._v2_batch_cap(n)
+    x = rng.standard_normal((b, n)).astype(np.float32) + 0j
+    x = x + 1j * rng.standard_normal((b, n)).astype(np.float32)
+    h = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))).astype(
+        np.complex64
+    )
+
+    @jax.jit
+    def conv_unordered(xr, xi, hr, hi):
+        ar, ai = cf.fft_planes_unordered(xr, xi)
+        br, bi = cf.fft_planes_unordered(hr, hi)
+        pr = ar * br - ai * bi
+        pi = ar * bi + ai * br
+        return cf.ifft_planes_unordered(pr, pi)
+
+    got_r, got_i = map(
+        np.asarray,
+        conv_unordered(
+            jax.device_put(x.real.astype(np.float32)),
+            jax.device_put(x.imag.astype(np.float32)),
+            jax.device_put(h.real.astype(np.float32)),
+            jax.device_put(h.imag.astype(np.float32)),
+        ),
+    )
+    ref = np.fft.ifft(
+        np.fft.fft(x[:2].astype(np.complex128), axis=-1)
+        * np.fft.fft(h.astype(np.complex128), axis=-1),
+        axis=-1,
+    )
+    err = np.abs((got_r[:2] + 1j * got_i[:2]) / n - ref).max()
+    bound = 2e-7 * n * np.sqrt(n)  # conv-e2e convention (test_pallas_engine)
+    print(f"  cross-batch conv numeric: err {err:.2e} (bound {bound:.1e})",
+          flush=True)
+    assert err < bound
+
+    # A/B: chunked v2 vs v1 at 2^18 b=64 round trip (ordered entry)
+    n, b = 1 << 18, 64
+    ar = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+    ai = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+
+    def rt_v2c(v):
+        r, i = v
+        sr, si = pf._cfft_composite_v2_batched(r, i, n, True)
+        br, bi = pf._cfft_composite_v2_batched(sr, si, n, False)
+        return br, bi
+
+    def rt_v1(v):
+        r, i = v
+        sr, si = pf._cfft_pair_large_v1(r, i, n, True, True)
+        return pf._cfft_pair_large_v1(sr, si, n, False, True)
+
+    for rep in range(2):
+        for name, body in (("chunked-v2", rt_v2c), ("v1", rt_v1)):
+            t = t_us(lambda v, _b=body: _b(v), (ar, ai), pair=(4, 36))
+            print(f"  2^18 b=64 rt {name} rep{rep}: {t:.1f} us = "
+                  f"{b*n/(t/2):.0f} Ms/s/dir", flush=True)
+
+    # real path: chunked v2 vs v1 chain at 2^18 b=64 (cap is ~32 there)
+    xr64 = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+
+    def rrt_v2c(v):
+        r, i = cf.rfft_packed(v)  # dispatches to chunked v2
+        return cf.irfft_packed(r, i)
+
+    def rrt_v1(v):
+        r, i = pf._rfft_direct_composite_v1(v)
+        return pf._irfft_direct_composite_v1(r, i)
+
+    print(f"  real cap at 2^18: {pf._rdc_batch_cap(n)}", flush=True)
+    for rep in range(2):
+        for name, body in (("real chunked-v2", rrt_v2c), ("real v1", rrt_v1)):
+            t = t_us(lambda v, _b=body: _b(v), xr64, pair=(4, 36))
+            print(f"  2^18 b=64 rt {name} rep{rep}: {t:.1f} us = "
+                  f"{b*n/(t/2):.0f} Ms/s/dir", flush=True)
 
 print("\nDONE", flush=True)

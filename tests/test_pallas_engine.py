@@ -535,6 +535,72 @@ def test_composite_v2_engages(rng):
     assert pallas_fft._rdc_v2_supported(1 << 18, 16)
 
 
+def test_composite_unordered_layout_batch_independent(rng):
+    """Round-3 review fix: a composite plan's 'unordered' bin order is
+    contractual per PLAN (the reference convolves z-domain data across
+    calls of one setup), but the v2/v1 pick was gated on the CALL's batch
+    fitting VMEM — fft_planes_unordered(h, batch=1) took v2 (natural
+    order) while a large batch fell to v1 (digit-transposed), so their
+    spectra could not be convolved together. The unordered path now always
+    takes v2, batch-chunked beyond _v2_batch_cap; this exercises uneven
+    chunks (5 = 2+2+1) against numpy and the cross-batch convolve."""
+    n = 196608  # 512 x 384: above _MAX_N, so the PUBLIC path composites
+    assert n > pallas_fft._MAX_N
+    orig = pallas_fft._V2_BLOCK_BYTES
+    try:
+        # shrink the block cap so chunking engages at a CPU-testable batch
+        pallas_fft._V2_BLOCK_BYTES = 2 * 512 * 128 * 4
+        assert pallas_fft._v2_batch_cap(n) == 2
+        x = rand_complex(rng, (5, n))
+        h = rand_complex(rng, (1, n))
+        xr, xi = cf.fft_planes_unordered(x.real, x.imag, engine="pallas")
+        hr, hi = cf.fft_planes_unordered(h.real, h.imag, engine="pallas")
+        # both batches emit the SAME (natural) bin order, chunked or not
+        ref_x = np.fft.fft(x.astype(np.complex128), axis=-1)
+        ref_h = np.fft.fft(h.astype(np.complex128), axis=-1)
+        assert np.abs((np.asarray(xr) + 1j * np.asarray(xi)) - ref_x).max() < tol(n)
+        assert np.abs((np.asarray(hr) + 1j * np.asarray(hi)) - ref_h).max() < tol(n)
+        # the contractual composition: cross-batch convolve + inverse
+        pr = xr * hr - xi * hi
+        pi = xr * hi + xi * hr
+        br, bi = map(np.asarray, cf.ifft_planes_unordered(pr, pi, engine="pallas"))
+        got = (br + 1j * bi) / n
+        ref = np.fft.ifft(ref_x * ref_h, axis=-1)
+        assert np.abs(got - ref).max() < tol(n) * np.sqrt(n)
+    finally:
+        pallas_fft._V2_BLOCK_BYTES = orig
+
+
+def test_real_composite_batch_chunked(rng):
+    """The real composite rides the same batch-chunking (pure perf — v1
+    and v2 both emit ordered planes): beyond _rdc_batch_cap the v2
+    kernels run over trace-time batch chunks instead of falling back to
+    the ~6-round-trip v1 chain. Uneven chunks (5 = 2+2+1), differential
+    vs numpy + unscaled roundtrip, and the gradient path (custom_vjp
+    under slice/concat)."""
+    n = 196608  # real split 512 x 384 (both even)
+    orig = pallas_fft._V2_BLOCK_BYTES
+    try:
+        pallas_fft._V2_BLOCK_BYTES = 2 * 512 * 128 * 4
+        assert pallas_fft._rdc_batch_cap(n) == 2
+        x = rng.standard_normal((5, n)).astype(np.float32)
+        re, im = map(np.asarray, cf.rfft_packed(x, engine="pallas"))
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        assert np.abs(re[:, 1:] - ref[:, 1 : n // 2].real).max() < tol(n)
+        assert np.abs(im[:, 1:] - ref[:, 1 : n // 2].imag).max() < tol(n)
+        back = np.asarray(
+            cf.irfft_packed(jnp.asarray(re), jnp.asarray(im), engine="pallas")
+        ) / n
+        assert np.abs(back - x).max() < tol(n)
+        # gradient flows through the chunked custom_vjp composition
+        g = jax.grad(
+            lambda v: cf.rfft_packed(v, engine="pallas")[0].sum()
+        )(jnp.asarray(x[:3]))
+        assert np.isfinite(np.asarray(g)).all()
+    finally:
+        pallas_fft._V2_BLOCK_BYTES = orig
+
+
 def test_large_rfft_via_half(rng):
     """Real N above the fused-kernel bound goes through the batch-paired
     half-complex split (exercised directly at a test-friendly size)."""

@@ -410,6 +410,32 @@ def test_dist_fft_transform_chunks(rng):
         )
 
 
+def test_dist_split_real_requires_even_a(rng):
+    """Round-3 review fix: the smooth-N widening could hand the REAL path
+    an odd level-1 factor (N=155520 over 3 devices balances to A=405),
+    whose packed local rfft (half_a planes, DC/Nyquist rows) silently
+    corrupts the spectrum. The real entry points now split with
+    real=True, which skips odd-A candidates."""
+    from chowdsp_fft_tpu.parallel import dist_fft
+
+    n, n_dev = 155520, 3  # 2^7 * 3^5 * 5
+    assert dist_fft._dist_split(n, n_dev)[0] % 2 == 1  # the odd-A trap exists
+    a, c = dist_fft._dist_split(n, n_dev, real=True)
+    assert a % 2 == 0 and a * c == n and a % n_dev == 0 and c % n_dev == 0
+    mesh = parallel.dsp_mesh(n_dev, axis=parallel.TIME_AXIS)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = dist_fft.sharded_rfft_planes(jnp.asarray(x), mesh)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    full = np.fft.fft(x.astype(np.float64), axis=-1)
+    perm = dist_fft.rspectrum_order(n, n_dev)
+    valid = perm >= 0
+    exp = np.zeros_like(got, dtype=np.complex128)
+    exp[:, valid] = full[:, perm[valid]]
+    assert np.abs(got - exp).max() < 2e-7 * n
+    back = np.asarray(dist_fft.sharded_irfft_planes(re, im, mesh, n)) / n
+    assert np.abs(back - x).max() < 2e-7 * n
+
+
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_sharded_rfft_differential_and_roundtrip(n_dev, rng):
     """Distributed REAL forward (round 2): batched, packed-row layout,

@@ -64,6 +64,28 @@ def test_two_level_tier_matches_dispatch():
     assert 180e-6 < rc.seconds_serial < 195e-6
 
 
+def test_single_kernel_predicate_matches_engine():
+    """Round-3 review fix: the medium smooth non-multiples of 128 (576,
+    960, 3600, ...) dispatch as TWO-level direct-DFT composites, so their
+    roofline denominator must carry two HBM round trips — grading them
+    against a one-level bound made exactly the sweep rows added to measure
+    that feature look unreachable. Pin the model's tier predicate to the
+    engine's dispatch for a spread of sizes."""
+    from chowdsp_fft_tpu.ops import pallas_fft
+    from chowdsp_fft_tpu.utils.roofline import _MAX_DIRECT_N, _single_kernel
+
+    assert _MAX_DIRECT_N == pallas_fft._MAX_SMALL_FALLBACK
+    for n in (128, 480, 511, 512, 576, 960, 3600, 4096, 1 << 17, 1 << 18):
+        engine_single = pallas_fft._small_dispatch(n) or (
+            n <= pallas_fft._MAX_N and pallas_fft._is_smooth_multiple(n)
+        )
+        assert _single_kernel(n) == engine_single, n
+        expect_levels = 1 if engine_single else 2
+        r = fft_roofline(n, 8, "real")
+        forced = fft_roofline(n, 8, "real", levels=expect_levels)
+        assert math.isclose(r.seconds_memory, forced.seconds_memory), n
+
+
 def test_conv_roofline_carries_n_samples():
     r = conv_roofline(2048, 64)
     assert r.n_samples == 2048 * 64
