@@ -3,6 +3,11 @@
 Run anywhere (CPU or TPU): python examples/01_transforms.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,6 +5,11 @@ Run with a virtual mesh:
       python examples/03_sdr_and_multichip.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import jax
 

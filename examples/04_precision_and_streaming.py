@@ -3,6 +3,11 @@
 Run anywhere: python examples/04_precision_and_streaming.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
