@@ -1121,7 +1121,7 @@ def _cols_supported(b: int, a: int, c: int) -> bool:
     if not _is_smooth_multiple(a):
         return False
     tc = _col_tile(a, c, b)
-    return tc >= 128 and c % tc == 0 and b * a * tc * 4 <= (8 << 20)
+    return tc >= 128 and c % tc == 0 and b * a * tc * 4 <= _V2_BLOCK_BYTES
 
 
 def _rfft_packed_cols_impl(x3: jax.Array, a: int) -> tuple[jax.Array, jax.Array]:
@@ -2212,12 +2212,13 @@ def _cfft_composite_v2_batched(xre, xim, n, forward):
 def _cfft_pair_large(xre, xim, n, forward, ordered):
     b = xre.shape[0]
     cap = _v2_batch_cap(n)
-    if not ordered and cap and _v2_supported(n, min(b, cap)):
+    if not ordered and cap:
         # The unordered layout is contractual per PLAN (same as the
         # reference: pffft z-domain data from one setup convolves across
-        # calls), so the choice must not depend on this call's batch:
-        # always v2's natural order, batch-chunked when the blocks don't
-        # fit VMEM at this batch. A batch-gated v1 fallback here would
+        # calls), so this gate is deliberately batch-FREE: always v2's
+        # natural order, batch-chunked when the blocks don't fit VMEM at
+        # this batch (cap > 0 implies the tiles fit at the chunk size —
+        # same VMEM inequality). A batch-gated v1 fallback here would
         # emit the digit-transposed order for large batches and silently
         # corrupt cross-batch convolve compositions (round-3 review).
         return _cfft_composite_v2_batched(xre, xim, n, forward)
@@ -2515,11 +2516,17 @@ def _rdc_batch_cap(n: int) -> int:
 
 def _batch_chunked(fn, arrays, cap):
     """Apply fn over trace-time batch chunks of size <= cap, concatenating
-    the outputs (tuple-valued fns concat per element)."""
+    the outputs (tuple-valued fns concat per element). Chunks are BALANCED
+    (sizes differ by at most 1) rather than cap-sized-plus-remainder: a
+    ragged tail (e.g. 48 = 32 + 16) would compile an extra Mosaic kernel
+    variant per stage and run a near-empty grid pass, while 24 + 24 is one
+    variant at the same chunk count."""
     b = arrays[0].shape[0]
     if b <= cap:
         return fn(*arrays)
-    outs = [fn(*(arr[i : i + cap] for arr in arrays)) for i in range(0, b, cap)]
+    n_chunks = -(-b // cap)
+    edges = [round(i * b / n_chunks) for i in range(n_chunks + 1)]
+    outs = [fn(*(arr[s:e] for arr in arrays)) for s, e in zip(edges, edges[1:])]
     if isinstance(outs[0], tuple):
         return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
     return jnp.concatenate(outs, axis=0)

@@ -39,8 +39,11 @@ def _ship_tail_left(x_local: jax.Array, halo: int, axis_name: str) -> jax.Array:
     the concat-style exchange and the overlap-friendly boundary-correction
     path. Shapes are static, so misuse fails loudly at trace time: a halo
     longer than the local shard needs a multi-hop exchange this
-    single-ppermute implementation does not do."""
+    single-ppermute implementation does not do; halo == 0 would make
+    `x[..., -0:]` silently select the WHOLE chunk (callers no-op it)."""
     t_loc = x_local.shape[-1]
+    if halo == 0:
+        raise ValueError("halo must be > 0 (a zero halo needs no exchange)")
     if halo > t_loc:
         raise ValueError(
             f"halo ({halo}) exceeds the local shard length ({t_loc}); "

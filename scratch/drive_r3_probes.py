@@ -29,7 +29,7 @@ from chowdsp_fft_tpu.utils.profiling import op_seconds
 
 print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
-SECTIONS = set(sys.argv[1:]) or {"A", "B", "C", "D", "E", "F", "G"}
+SECTIONS = set(sys.argv[1:]) or {"A", "B", "C", "D", "E", "F", "G", "H"}
 
 
 def t_us(body, init, pair=(16, 272)):
