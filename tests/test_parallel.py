@@ -148,6 +148,12 @@ def test_halo_exchange_guards():
     hbig = jnp.ones(200, jnp.float32) / 200  # halo 199 > shard 64
     with _pytest.raises(ValueError, match="halo"):
         parallel.sharded_fir_ols(x, hbig, mesh)
+    # the shared tail-ship helper itself rejects halo == 0 loudly
+    # (x[..., -0:] would silently select the WHOLE chunk)
+    from chowdsp_fft_tpu.parallel import sharded as _sharded
+
+    with _pytest.raises(ValueError, match="halo"):
+        _sharded._ship_tail_left(x, 0, parallel.TIME_AXIS)
 
 
 def test_halo_overlap_structure(mesh8):
