@@ -118,93 +118,11 @@ def config2_sweep(results, quick=False):
         sizes = [64, 4096, 65536]
     work = 1 << 22  # keep B*N constant
     for n in sizes:
-        b = max(2, work // n)
-        x = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
-        zr = x
-        zi = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
-        # Iteration span: must dwarf the multi-ms RPC jitter. Fast (small-N,
-        # memory-bound) rows run ~40-90us/iter, so they need a LONGER span,
-        # not shorter — a 64-iter span (~4ms) produced a negative slope
-        # once at N=2^6.
-        span = max(256 if n <= 2048 else 64, (1 << 25) // (b * n))
-        pair = (8, 8 + span)
-
-        # Round-trip (fwd+bwd) self-chains — the reference's own bench
-        # methodology (/root/reference/bench/bench.cpp:40-61) — so the
-        # loop carries NO extra passes (a concat/broadcast carry costs
-        # 1-3 HBM passes, which at memory-bound sizes more than doubled
-        # the per-iteration time and understated small-N rows by 2-4x).
-        # Reported rate = per-transform average over the pair.
-        def measure_pos(body, init):
-            """Retry with a doubled span if jitter produced a nonpositive
-            slope; give up (and report 0) only after three attempts."""
-            p = pair
-            for _ in range(3):
-                t = measure(body, init, p)
-                if t > 0:
-                    return t
-                p = (p[0], p[0] + 2 * (p[1] - p[0]))
-            return float("nan")
-
-        def body_r(v):
-            re, im = cf.rfft_packed(v)
-            return cf.irfft_packed(re, im)
-
-        t_r = measure_pos(body_r, x) / 2.0
-
-        # Forward-only (the headline bench's basis, bench.py): the carry
-        # touches one spectrum column so the transform can't be elided;
-        # the Pallas call is opaque so the whole kernel is forced.
-        def body_r_fwd(v):
-            re, _ = cf.rfft_packed(v)
-            return v + re[:, :1] * 1e-30
-
-        t_rf = measure_pos(body_r_fwd, x)
-
-        def body_c(v):
-            r, i = v
-            sr, si = cf.fft_planes(r, i)
-            return cf.ifft_planes(sr, si)
-
-        t_c = measure_pos(body_c, (zr, zi)) / 2.0
-
-        def body_c_fwd(v):
-            r, i = v
-            sr, si = cf.fft_planes(r, i)
-            return r + sr[:, :1] * 1e-30, i + si[:, :1] * 1e-30
-
-        t_cf = measure_pos(body_c_fwd, (zr, zi))
-        r_ms = b * n / t_r / 1e6
-        rf_ms = b * n / t_rf / 1e6
-        c_ms = b * n / t_c / 1e6
-        cf_ms = b * n / t_cf / 1e6
-        # ONE denominator for the whole repo: utils/roofline.fft_roofline
-        # (read input + write output, summed — the same basis bench.py
-        # reports as vs_baseline). The serial-phase governing bound is
-        # also reported; see BASELINE.md for why memory alone is not the
-        # governing bound at compliant fp32.
-        roof = fft_roofline(n, b, "real")
-        roof_mem = b * n / roof.seconds_memory / 1e6
-        roof_gov = roof.samples_per_s_serial / 1e6
-        rows.append(
-            {
-                "N": n,
-                "batch": b,
-                "rfft_fwd_Msps": round(rf_ms, 1),
-                "rfft_rt_Msps": round(r_ms, 1),
-                "cfft_fwd_Msps": round(cf_ms, 1),
-                "cfft_rt_Msps": round(c_ms, 1),
-                "rfft_fwd_vs_mem_roofline": round(rf_ms / roof_mem, 4),
-                "rfft_fwd_vs_governing": round(rf_ms / roof_gov, 4),
-            }
-        )
-        lbl = f"2^{n.bit_length()-1}" if n & (n - 1) == 0 else str(n)
-        print(
-            f"config2: N={lbl} B={b}: rfft fwd {rf_ms:9.1f} "
-            f"rt {r_ms:9.1f} Ms/s  cfft fwd {cf_ms:9.1f} rt {c_ms:9.1f} Ms/s  "
-            f"(fwd {rows[-1]['rfft_fwd_vs_mem_roofline']:.2f} of mem, "
-            f"{rows[-1]['rfft_fwd_vs_governing']:.2f} of governing)"
-        )
+        try:
+            _config2_row(rows, rng, n, work)
+        except Exception as e:  # one bad row must not kill the sweep
+            print(f"config2: N={n} FAILED: {type(e).__name__}: {e}")
+            rows.append({"N": n, "error": f"{type(e).__name__}: {e}"})
     results["config2"] = {
         "desc": "throughput sweep (1 chip). fwd = forward-only (the "
         "headline bench.py basis); rt = per-transform average of a "
@@ -214,6 +132,101 @@ def config2_sweep(results, quick=False):
         "serial-phase governing bound).",
         "rows": rows,
     }
+
+
+def _config2_row(rows, rng, n, work):
+    """One config-2 size row (isolated so a failure on an untested
+    shape cannot kill the whole sweep)."""
+    import jax
+    import chowdsp_fft_tpu as cf
+
+    b = max(2, work // n)
+    x = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+    zr = x
+    zi = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+    # Iteration span: must dwarf the multi-ms RPC jitter. Fast (small-N,
+    # memory-bound) rows run ~40-90us/iter, so they need a LONGER span,
+    # not shorter — a 64-iter span (~4ms) produced a negative slope
+    # once at N=2^6.
+    span = max(256 if n <= 2048 else 64, (1 << 25) // (b * n))
+    pair = (8, 8 + span)
+
+    # Round-trip (fwd+bwd) self-chains — the reference's own bench
+    # methodology (/root/reference/bench/bench.cpp:40-61) — so the
+    # loop carries NO extra passes (a concat/broadcast carry costs
+    # 1-3 HBM passes, which at memory-bound sizes more than doubled
+    # the per-iteration time and understated small-N rows by 2-4x).
+    # Reported rate = per-transform average over the pair.
+    def measure_pos(body, init):
+        """Retry with a doubled span if jitter produced a nonpositive
+        slope; give up (and report 0) only after three attempts."""
+        p = pair
+        for _ in range(3):
+            t = measure(body, init, p)
+            if t > 0:
+                return t
+            p = (p[0], p[0] + 2 * (p[1] - p[0]))
+        return float("nan")
+
+    def body_r(v):
+        re, im = cf.rfft_packed(v)
+        return cf.irfft_packed(re, im)
+
+    t_r = measure_pos(body_r, x) / 2.0
+
+    # Forward-only (the headline bench's basis, bench.py): the carry
+    # touches one spectrum column so the transform can't be elided;
+    # the Pallas call is opaque so the whole kernel is forced.
+    def body_r_fwd(v):
+        re, _ = cf.rfft_packed(v)
+        return v + re[:, :1] * 1e-30
+
+    t_rf = measure_pos(body_r_fwd, x)
+
+    def body_c(v):
+        r, i = v
+        sr, si = cf.fft_planes(r, i)
+        return cf.ifft_planes(sr, si)
+
+    t_c = measure_pos(body_c, (zr, zi)) / 2.0
+
+    def body_c_fwd(v):
+        r, i = v
+        sr, si = cf.fft_planes(r, i)
+        return r + sr[:, :1] * 1e-30, i + si[:, :1] * 1e-30
+
+    t_cf = measure_pos(body_c_fwd, (zr, zi))
+    r_ms = b * n / t_r / 1e6
+    rf_ms = b * n / t_rf / 1e6
+    c_ms = b * n / t_c / 1e6
+    cf_ms = b * n / t_cf / 1e6
+    # ONE denominator for the whole repo: utils/roofline.fft_roofline
+    # (read input + write output, summed — the same basis bench.py
+    # reports as vs_baseline). The serial-phase governing bound is
+    # also reported; see BASELINE.md for why memory alone is not the
+    # governing bound at compliant fp32.
+    roof = fft_roofline(n, b, "real")
+    roof_mem = b * n / roof.seconds_memory / 1e6
+    roof_gov = roof.samples_per_s_serial / 1e6
+    rows.append(
+        {
+            "N": n,
+            "batch": b,
+            "rfft_fwd_Msps": round(rf_ms, 1),
+            "rfft_rt_Msps": round(r_ms, 1),
+            "cfft_fwd_Msps": round(cf_ms, 1),
+            "cfft_rt_Msps": round(c_ms, 1),
+            "rfft_fwd_vs_mem_roofline": round(rf_ms / roof_mem, 4),
+            "rfft_fwd_vs_governing": round(rf_ms / roof_gov, 4),
+        }
+    )
+    lbl = f"2^{n.bit_length()-1}" if n & (n - 1) == 0 else str(n)
+    print(
+        f"config2: N={lbl} B={b}: rfft fwd {rf_ms:9.1f} "
+        f"rt {r_ms:9.1f} Ms/s  cfft fwd {cf_ms:9.1f} rt {c_ms:9.1f} Ms/s  "
+        f"(fwd {rows[-1]['rfft_fwd_vs_mem_roofline']:.2f} of mem, "
+        f"{rows[-1]['rfft_fwd_vs_governing']:.2f} of governing)"
+    )
 
 
 def config3_fir(results, quick=False):
@@ -446,6 +459,9 @@ def main():
     for r in results["config2"]["rows"]:
         n_ = r["N"]
         lbl = f"2^{n_.bit_length()-1}" if isinstance(n_, int) and n_ & (n_ - 1) == 0 else str(n_)
+        if "error" in r:
+            md.append(f"| {lbl} | — | {r['error']} | | | | | |")
+            continue
         md.append(
             f"| {lbl} "
             f"| {r['batch']} | {r['rfft_fwd_Msps']} | {r['rfft_rt_Msps']} "
