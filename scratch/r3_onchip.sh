@@ -26,8 +26,15 @@ print('sum:', float(jax.numpy.sum(jax.numpy.ones((8,128)))), flush=True)
 done
 
 echo "=== probes ($(date -u)) ==="
-timeout 2400 python scratch/drive_r3_probes.py > /tmp/r3_probes.log 2>&1
-echo "probes exit: $? ($(date -u))"
+# one process per section: a Mosaic failure or tunnel relapse in one
+# section must not take down the rest of the queue
+: > /tmp/r3_probes.log
+for s in A B C D E F G H; do
+  echo "--- section $s ($(date -u)) ---" >> /tmp/r3_probes.log
+  timeout 700 python scratch/drive_r3_probes.py "$s" >> /tmp/r3_probes.log 2>&1
+  echo "--- section $s exit: $? ---" >> /tmp/r3_probes.log
+done
+echo "probes done ($(date -u))"
 tail -3 /tmp/r3_probes.log
 
 echo "=== bench ($(date -u)) ==="
