@@ -734,34 +734,31 @@ def _merge_karatsuba(ar, ai, mr, mi, rows: int, k: int = LANES):
     return p1 - p2, p3 - p1 - p2
 
 
-def _rfft_kernel(
-    x_ref,
-    stw_re_ref,
-    stw_im_ref,
-    msf_ref,
-    msg_ref,
-    alt_ref,
-    yre_ref,
-    yim_ref,
+def _rfft_tile(
+    x,
+    stw_re,
+    stw_im,
+    msf,
+    msg,
+    alt,
     *,
     n1: int,
     radices: tuple[int, ...],
     ordered: bool,
 ):
-    """Real forward: x (TB, N) f32 -> packed half-spectrum planes (TB, N/2).
-
-    Stage tables arrive pre-folded with the four-step twiddle
-    (_tables_fwd_folded) and the first stage runs real-specialized
-    (vim=None in _stockham_rows)."""
-    tb = x_ref.shape[0]
+    """Shared body of the fused real forward: one (TB, N) f32 tile ->
+    packed half-spectrum planes ((TB, N/2), (TB, N/2)). Used by both the
+    grid-pipelined kernel (_rfft_kernel) and the manually double-buffered
+    variant (_rfft_db_kernel)."""
+    tb = x.shape[0]
     half = LANES // 2
-    vre = jnp.swapaxes(x_ref[...].reshape(tb, n1, LANES), 0, 1)
-    vre, vim = _stockham_rows(vre, None, radices, stw_re_ref[...], stw_im_ref[...], True)
+    vre = jnp.swapaxes(x.reshape(tb, n1, LANES), 0, 1)
+    vre, vim = _stockham_rows(vre, None, radices, stw_re, stw_im, True)
 
     # Nyquist = X[N/2] (k1=0, k2=64): alternating-sign lane reduction of the
     # k1=0 row (W_128^{-64*n2} = (-1)^n2; the result is purely real). The
     # folded twiddle for k1=0 is identically 1, so post-stage == post-twiddle.
-    nyq = jnp.sum(vre[0] * alt_ref[...], axis=-1)  # (TB,)
+    nyq = jnp.sum(vre[0] * alt, axis=-1)  # (TB,)
 
     # Column-packed half merge: bins k = k1 + N1*k2 for k2 in [0, 64).
     # MXU time at these shapes scales with rows x passes and is INDEPENDENT
@@ -773,8 +770,8 @@ def _rfft_kernel(
     # The lane-halves split is deferred past the flatten's minor transpose,
     # where it becomes a free sublane-range slice.
     rows = n1 * tb
-    u = _merge_dot(vre.reshape(rows, LANES), msf_ref[...])
-    w = _merge_dot(vim.reshape(rows, LANES), msg_ref[...])
+    u = _merge_dot(vre.reshape(rows, LANES), msf)
+    w = _merge_dot(vim.reshape(rows, LANES), msg)
     j = (u + w).reshape(n1, tb, LANES)
 
     j2 = jnp.swapaxes(j, 1, 2)  # (n1, 128, tb): minor 2D transpose
@@ -796,6 +793,33 @@ def _rfft_kernel(
     # trick as pffft, /root/reference/simd/chowdsp_fft_impl_sse.cpp:1640-1644).
     col = jax.lax.broadcasted_iota(jnp.int32, yi2.shape, 1)
     yi2 = jnp.where(col == 0, nyq[:, None], yi2)
+    return yr2, yi2
+
+
+def _rfft_kernel(
+    x_ref,
+    stw_re_ref,
+    stw_im_ref,
+    msf_ref,
+    msg_ref,
+    alt_ref,
+    yre_ref,
+    yim_ref,
+    *,
+    n1: int,
+    radices: tuple[int, ...],
+    ordered: bool,
+):
+    """Real forward: x (TB, N) f32 -> packed half-spectrum planes (TB, N/2).
+
+    Stage tables arrive pre-folded with the four-step twiddle
+    (_tables_fwd_folded) and the first stage runs real-specialized
+    (vim=None in _stockham_rows)."""
+    yr2, yi2 = _rfft_tile(
+        x_ref[...], stw_re_ref[...], stw_im_ref[...],
+        msf_ref[...], msg_ref[...], alt_ref[...],
+        n1=n1, radices=radices, ordered=ordered,
+    )
     if yim_ref is None:  # joint output: [re | im] in one (TB, N) buffer
         m = yr2.shape[-1]
         yre_ref[:, :m] = yr2
@@ -1287,6 +1311,272 @@ def _rfft_packed_joint(x: jax.Array, n: int, ordered: bool = True) -> jax.Array:
     Internal (no autodiff rule); the zero-relayout form for self-chaining
     benches and single-tensor spectrum storage."""
     return _pallas_rfft_packed_impl(x, n, ordered, joint=True)
+
+
+def _rfft_db_kernel(
+    x_hbm,
+    stw_re_ref,
+    stw_im_ref,
+    msf_ref,
+    msg_ref,
+    alt_ref,
+    y_hbm,
+    xbuf,
+    ybuf,
+    in_sem,
+    out_sem,
+    *,
+    n1: int,
+    radices: tuple[int, ...],
+    ordered: bool,
+    tb: int,
+    nchunks: int,
+):
+    """Manually double-buffered fused real forward (joint [re|im] output).
+
+    The probe-E fallback: instead of relying on the Mosaic grid pipeliner
+    to overlap block DMA with compute (ROOFLINE.md's serial-phase bound
+    assumes it does not), the batch stays in HBM (memory_space=ANY) and
+    the kernel drives its own two-slot make_async_copy pipeline — while
+    tile i computes, tile i+1 streams in and tile i-1 streams out
+    (pallas guide, "Patterns: Double Buffering")."""
+    n = n1 * LANES
+    m = n // 2
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * tb, tb), :], xbuf.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            ybuf.at[slot], y_hbm.at[pl.ds(i * tb, tb), :], out_sem.at[slot]
+        )
+
+    in_dma(0, 0).start()
+
+    def step(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            in_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        in_dma(slot, i).wait()
+        xt = xbuf[slot]
+        yr2, yi2 = _rfft_tile(
+            xt, stw_re_ref[...], stw_im_ref[...],
+            msf_ref[...], msg_ref[...], alt_ref[...],
+            n1=n1, radices=radices, ordered=ordered,
+        )
+
+        # The same slot's previous out-DMA (chunk i-2) must land before
+        # the buffer is overwritten.
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        ybuf[slot, :, :m] = yr2
+        ybuf[slot, :, m:] = yi2
+        out_dma(slot, i).start()
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, step, None)
+
+    # Drain the tail: the last one (nchunks==1) or two in-flight stores.
+    if nchunks >= 2:
+        out_dma((nchunks - 2) % 2, nchunks - 2).wait()
+    out_dma((nchunks - 1) % 2, nchunks - 1).wait()
+
+
+def _rfft_packed_joint_db(x: jax.Array, n: int, ordered: bool = True) -> jax.Array:
+    """Double-buffered twin of _rfft_packed_joint: (B, N) -> (B, N) [re|im].
+
+    Same tile math (_rfft_tile), manual DMA pipeline instead of the grid
+    pipeliner. Kept alongside the grid form until the on-chip A/B (probe
+    queue section I) decides which one dispatches."""
+    assert not _small_dispatch(n), "db variant covers the Stockham kernel only"
+    n1 = n // LANES
+    radices, (stw_re, stw_im), (dft_re, dft_im) = _tables_fwd_folded(n)
+    half = LANES // 2
+    alt = dft_re[:, LANES // 2].reshape(1, LANES).copy()
+
+    b = x.shape[0]
+    tb = _rbatch_tile(n, b)
+    pad = (-b) % tb
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    bp = b + pad
+    nchunks = bp // tb
+
+    msf = np.concatenate([dft_re[:, :half], dft_im[:, :half]], axis=1)
+    msg = np.concatenate([-dft_im[:, :half], dft_re[:, :half]], axis=1)
+    kern = functools.partial(
+        _rfft_db_kernel, n1=n1, radices=radices, ordered=ordered,
+        tb=tb, nchunks=nchunks,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 5,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb, n), jnp.float32),
+            pltpu.VMEM((2, tb, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * n1 * LANES * LANES
+            + int(2.5 * bp * n * max(1, np.log2(max(2, n1)))) * 2,
+            bytes_accessed=4 * (2 * bp * n),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(x, jnp.float32), stw_re, stw_im, msf, msg, alt)
+    return y[:b] if pad else y
+
+
+def _irfft_db_kernel(
+    yre_hbm,
+    yim_hbm,
+    stw_re_ref,
+    stw_im_ref,
+    mtw_re_ref,
+    mtw_im_ref,
+    ms_re_ref,
+    ms_im_ref,
+    d_re_ref,
+    d_im_ref,
+    c0_re_ref,
+    c0_im_ref,
+    x_hbm,
+    rebuf,
+    imbuf,
+    xbuf,
+    in_re_sem,
+    in_im_sem,
+    out_sem,
+    *,
+    n1: int,
+    radices: tuple[int, ...],
+    ordered: bool,
+    tb: int,
+    nchunks: int,
+):
+    """Double-buffered twin of _irfft_kernel (see _rfft_db_kernel): two
+    plane in-DMAs + one time-domain out-DMA per chunk, manual two-slot
+    pipeline."""
+    n = n1 * LANES
+    m = n // 2
+
+    def in_dmas(slot, i):
+        return (
+            pltpu.make_async_copy(
+                yre_hbm.at[pl.ds(i * tb, tb), :], rebuf.at[slot], in_re_sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                yim_hbm.at[pl.ds(i * tb, tb), :], imbuf.at[slot], in_im_sem.at[slot]
+            ),
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            xbuf.at[slot], x_hbm.at[pl.ds(i * tb, tb), :], out_sem.at[slot]
+        )
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+
+    def step(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            for dma in in_dmas(jax.lax.rem(i + 1, 2), i + 1):
+                dma.start()
+
+        for dma in in_dmas(slot, i):
+            dma.wait()
+        xr = _irfft_core(
+            rebuf[slot], imbuf[slot],
+            stw_re_ref[...], stw_im_ref[...], mtw_re_ref[...], mtw_im_ref[...],
+            ms_re_ref[...], ms_im_ref[...], d_re_ref[...], d_im_ref[...],
+            c0_re_ref[...], c0_im_ref[...],
+            n1=n1, radices=radices, ordered=ordered,
+        )
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        xbuf[slot] = jnp.swapaxes(xr, 0, 1).reshape(tb, n)
+        out_dma(slot, i).start()
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, step, None)
+    if nchunks >= 2:
+        out_dma((nchunks - 2) % 2, nchunks - 2).wait()
+    out_dma((nchunks - 1) % 2, nchunks - 1).wait()
+
+
+def _irfft_packed_db(
+    yre: jax.Array, yim: jax.Array, n: int, ordered: bool = True
+) -> jax.Array:
+    """Double-buffered twin of _pallas_irfft_packed_impl (probe queue
+    section I decides dispatch)."""
+    assert not _small_dispatch(n), "db variant covers the Stockham kernel only"
+    n1 = n // LANES
+    radices, (stw_re, stw_im), (mtw_re, mtw_im), ms, d, c0 = _rifft_tables(n)
+
+    b = yre.shape[0]
+    tb = _rbatch_tile(n, b)
+    pad = (-b) % tb
+    if pad:
+        yre = jnp.pad(yre, ((0, pad), (0, 0)))
+        yim = jnp.pad(yim, ((0, pad), (0, 0)))
+    bp = b + pad
+    nchunks = bp // tb
+    m = n // 2
+
+    kern = functools.partial(
+        _irfft_db_kernel, n1=n1, radices=radices, ordered=ordered,
+        tb=tb, nchunks=nchunks,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    x = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [vmem] * 10,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb, m), jnp.float32),
+            pltpu.VMEM((2, tb, m), jnp.float32),
+            pltpu.VMEM((2, tb, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bp * n1 * LANES * LANES
+            + int(2.5 * bp * n * max(1, np.log2(max(2, n1)))) * 2,
+            bytes_accessed=4 * (2 * bp * n),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(yre, jnp.float32), jnp.asarray(yim, jnp.float32),
+        stw_re, stw_im, mtw_re, mtw_im,
+        ms[0], ms[1], d[0], d[1], c0[0], c0[1],
+    )
+    return x[:b] if pad else x
 
 
 def _pallas_irfft_packed_impl(yre: jax.Array, yim: jax.Array, n: int, ordered: bool) -> jax.Array:

@@ -13,7 +13,10 @@ Sections (all same-process, interleaved A/B per the NOTES methodology):
      numeric at N=196608 cross-batch convolve + A/B chunked-v2 vs v1 at
      2^18 b=64 (if chunked v2 wins, flip the ORDERED large-batch dispatch
      to it too)
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scratch/drive_r3_probes.py [A B C D E F G H]
+  I. manual double-buffered rfft (_rfft_packed_joint_db) vs the grid
+     pipeliner at the headline shape + N=2^13/2^15 — the probe-E
+     fallback pattern, pre-built so the A/B runs in the same pass
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scratch/drive_r3_probes.py [A B C D E F G H I]
 """
 import sys
 
@@ -29,7 +32,7 @@ from chowdsp_fft_tpu.utils.profiling import op_seconds
 
 print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
-SECTIONS = set(sys.argv[1:]) or {"A", "B", "C", "D", "E", "F", "G", "H"}
+SECTIONS = set(sys.argv[1:]) or {"A", "B", "C", "D", "E", "F", "G", "H", "I"}
 
 
 def t_us(body, init, pair=(16, 272)):
@@ -401,5 +404,58 @@ if "H" in SECTIONS:
             t = t_us(lambda v, _b=body: _b(v), xr64, pair=(4, 36))
             print(f"  2^18 b=64 rt {name} rep{rep}: {t:.1f} us = "
                   f"{b*n/(t/2):.0f} Ms/s/dir", flush=True)
+
+if "I" in SECTIONS:
+    print("\n== I: manual double-buffered rfft vs grid pipeliner ==", flush=True)
+    # numeric spot-check on silicon first (interpret-mode checked on CPU)
+    n, b = 4096, 1024
+    x_np = rng.standard_normal((b, n)).astype(np.float32)
+    x = jax.device_put(x_np)
+    grid_fn = jax.jit(lambda v: pf._rfft_packed_joint(v, n, True))
+    db_fn = jax.jit(lambda v: pf._rfft_packed_joint_db(v, n, True))
+    d = float(jnp.max(jnp.abs(grid_fn(x) - db_fn(x))))
+    print(f"  db-vs-grid max abs diff (N=4096): {d:.2e} (expect 0)", flush=True)
+    assert d < 1e-4, d  # same tile math; tolerance only guards sched diffs
+
+    for nn in (4096, 8192, 32768):
+        bb = (1 << 22) // nn
+        xx = jax.device_put(rng.standard_normal((bb, nn)).astype(np.float32))
+        res = {}
+        for rep in range(3):
+            for name, impl in (("grid", pf._rfft_packed_joint),
+                               ("db", pf._rfft_packed_joint_db)):
+                t = t_us(
+                    lambda v, _i=impl, _n=nn: v + _i(v, _n, True)[:, :1] * 1e-30,
+                    xx,
+                )
+                res.setdefault(name, []).append(t)
+                print(f"  N={nn} B={bb} {name} rep{rep}: {t:.1f} us = "
+                      f"{bb*nn/t:.0f} Ms/s", flush=True)
+        g, dmin = min(res["grid"]), min(res["db"])
+        print(f"  N={nn}: grid {g:.1f} vs db {dmin:.1f} us "
+              f"({'DB WINS' if dmin < g else 'grid wins'} "
+              f"{abs(g-dmin)/g*100:.0f}%)", flush=True)
+
+    # inverse direction at the headline shape
+    n, b = 4096, 1024
+    m = n // 2
+    yre = jax.device_put(rng.standard_normal((b, m)).astype(np.float32))
+    yim = jax.device_put(rng.standard_normal((b, m)).astype(np.float32))
+    gi = jax.jit(lambda r, i: pf._pallas_irfft_packed_impl(r, i, n, True))
+    di = jax.jit(lambda r, i: pf._irfft_packed_db(r, i, n, True))
+    d = float(jnp.max(jnp.abs(gi(yre, yim) - di(yre, yim))))
+    print(f"  irfft db-vs-grid max abs diff: {d:.2e} (expect 0)", flush=True)
+    assert d < 1e-3, d
+    for rep in range(3):
+        for name, impl in (("grid", pf._pallas_irfft_packed_impl),
+                           ("db", pf._irfft_packed_db)):
+            t = t_us(
+                lambda v, _i=impl: (
+                    v[0] + _i(v[0], v[1], n, True)[:, :1] * 1e-30, v[1]
+                ),
+                (yre, yim),
+            )
+            print(f"  irfft N={n} B={b} {name} rep{rep}: {t:.1f} us = "
+                  f"{b*n/t:.0f} Ms/s", flush=True)
 
 print("\nDONE", flush=True)

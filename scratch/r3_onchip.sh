@@ -29,7 +29,7 @@ echo "=== probes ($(date -u)) ==="
 # one process per section: a Mosaic failure or tunnel relapse in one
 # section must not take down the rest of the queue
 : > /tmp/r3_probes.log
-for s in A B C D E F G H; do
+for s in A B C D E F G H I; do
   echo "--- section $s ($(date -u)) ---" >> /tmp/r3_probes.log
   timeout 700 python scratch/drive_r3_probes.py "$s" >> /tmp/r3_probes.log 2>&1
   echo "--- section $s exit: $? ---" >> /tmp/r3_probes.log

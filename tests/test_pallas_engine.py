@@ -853,3 +853,54 @@ def test_mixed_radix_metal_sizes(n, rng):
     re, im = cf.rfft_packed(x, engine="pallas")
     xr = np.asarray(cf.irfft_packed(re, im, engine="pallas")) / n
     assert np.abs(xr - x).max() < tol(n)
+
+
+def test_rfft_joint_double_buffered_matches_grid(rng):
+    """The manual double-buffered forward (_rfft_packed_joint_db — the
+    probe-E fallback that drives its own two-slot make_async_copy pipeline
+    instead of the Mosaic grid pipeliner) is the SAME tile math
+    (_rfft_tile), so it must be bit-identical to the grid kernel. Batch
+    chosen so the pipeline runs 3 chunks incl. a padded tail."""
+    n = 512
+    b = 3 * pallas_fft._rbatch_tile(n, 10**9) - 8  # 3 chunks, ragged tail
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    grid = np.asarray(pallas_fft._rfft_packed_joint(jnp.asarray(x), n, True))
+    db = np.asarray(pallas_fft._rfft_packed_joint_db(jnp.asarray(x), n, True))
+    assert db.shape == (b, n)
+    np.testing.assert_array_equal(db, grid)
+    # and against numpy f64 (packed layout: [re | im], Nyquist in im[0])
+    sp = np.fft.rfft(x.astype(np.float64), axis=-1)
+    m = n // 2
+    re, im = sp.real[:, :m].copy(), sp.imag[:, :m].copy()
+    im[:, 0] = sp.real[:, m]
+    np.testing.assert_allclose(db, np.concatenate([re, im], 1), atol=tol(n), rtol=0)
+
+
+def test_rfft_joint_double_buffered_single_chunk(rng):
+    """nchunks == 1 exercises the drain path's short tail."""
+    n = 512
+    b = 16
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    grid = np.asarray(pallas_fft._rfft_packed_joint(jnp.asarray(x), n, True))
+    db = np.asarray(pallas_fft._rfft_packed_joint_db(jnp.asarray(x), n, True))
+    np.testing.assert_array_equal(db, grid)
+
+
+def test_irfft_double_buffered_matches_grid(rng):
+    """Same contract for the inverse: _irfft_packed_db shares _irfft_core
+    with the grid kernel, so outputs must be bit-identical."""
+    n = 512
+    b = 3 * pallas_fft._rbatch_tile(n, 10**9) - 8
+    m = n // 2
+    yre = rng.standard_normal((b, m)).astype(np.float32)
+    yim = rng.standard_normal((b, m)).astype(np.float32)
+    grid = np.asarray(pallas_fft._pallas_irfft_packed_impl(
+        jnp.asarray(yre), jnp.asarray(yim), n, True))
+    db = np.asarray(pallas_fft._irfft_packed_db(
+        jnp.asarray(yre), jnp.asarray(yim), n, True))
+    np.testing.assert_array_equal(db, grid)
+    # roundtrip through the forward DB variant: irfft(rfft(x)) == N * x
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    j = pallas_fft._rfft_packed_joint_db(jnp.asarray(x), n, True)
+    back = np.asarray(pallas_fft._irfft_packed_db(j[:, :m], j[:, m:], n, True)) / n
+    np.testing.assert_allclose(back, x, atol=tol(n), rtol=0)
