@@ -474,6 +474,61 @@ def _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd: bool,
     return vre, vim
 
 
+def _cfft_tile(
+    xre,
+    xim,
+    stw_re,
+    stw_im,
+    mtw_re,
+    mtw_im,
+    dft_re,
+    dft_im,
+    *,
+    n1: int,
+    radices: tuple[int, ...],
+    sign_fwd: bool,
+    reverse_order: bool,
+):
+    """Shared body of the complex kernel, one (TB, N) plane-pair tile:
+    forward pipeline (Stockham -> twiddle -> MXU merge) or, with
+    reverse_order=True, the mirrored inverse pipeline (MXU merge ->
+    twiddle -> Stockham), which consumes the unordered (k1, k2) layout
+    and emits natural time order."""
+    tb = xre.shape[0]
+    # (TB, N) -> (N1, TB, 128): the batch-minor orientation keeps every
+    # Stockham move at whole-vreg granularity; the two swapaxes cost ~24us
+    # total at B=1024/N=4096 on v5e, vs ~220us saved in the stages.
+    vre = jnp.swapaxes(xre.reshape(tb, n1, LANES), 0, 1)
+    vim = jnp.swapaxes(xim.reshape(tb, n1, LANES), 0, 1)
+
+    mtw_re = mtw_re[:, None, :]  # (N1, 1, 128)
+    mtw_im = mtw_im[:, None, :]
+
+    def merge_matmul(ar, ai):
+        """(N1*TB, 128) x (128, 128) DFT along lanes, on the MXU
+        (_merge_karatsuba: 3 real matmuls, fp32 HIGHEST — ~30% faster than
+        the 4-matmul form at equal accuracy, err ~7e-6 at N=4096)."""
+        yr, yi = _merge_karatsuba(ar, ai, dft_re, dft_im, n1 * tb)
+        return yr.reshape(n1, tb, LANES), yi.reshape(n1, tb, LANES)
+
+    def twiddle(ar, ai):
+        return ar * mtw_re - ai * mtw_im, ar * mtw_im + ai * mtw_re
+
+    if not reverse_order:
+        # Four-step twiddle is pre-folded into the last stage table
+        # (_tables_fwd_folded), so no explicit twiddle pass here.
+        vre, vim = _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd)
+        vre, vim = merge_matmul(vre, vim)
+    else:
+        vre, vim = merge_matmul(vre, vim)
+        vre, vim = twiddle(vre, vim)
+        vre, vim = _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd)
+
+    yre = jnp.swapaxes(vre, 0, 1).reshape(tb, n1 * LANES)
+    yim = jnp.swapaxes(vim, 0, 1).reshape(tb, n1 * LANES)
+    return yre, yim
+
+
 def _fft_kernel(
     xre_ref,
     xim_ref,
@@ -491,44 +546,13 @@ def _fft_kernel(
     sign_fwd: bool,
     reverse_order: bool,
 ):
-    """One batch tile: forward pipeline (Stockham -> twiddle -> MXU merge)
-    or, with reverse_order=True, the mirrored inverse pipeline
-    (MXU merge -> twiddle -> Stockham), which consumes the unordered
-    (k1, k2) layout and emits natural time order."""
-    tb = xre_ref.shape[0]
-    # (TB, N) -> (N1, TB, 128): the batch-minor orientation keeps every
-    # Stockham move at whole-vreg granularity; the two swapaxes cost ~24us
-    # total at B=1024/N=4096 on v5e, vs ~220us saved in the stages.
-    vre = jnp.swapaxes(xre_ref[...].reshape(tb, n1, LANES), 0, 1)
-    vim = jnp.swapaxes(xim_ref[...].reshape(tb, n1, LANES), 0, 1)
-
-    stw_re = stw_re_ref[...]
-    stw_im = stw_im_ref[...]
-    mtw_re = mtw_re_ref[...][:, None, :]  # (N1, 1, 128)
-    mtw_im = mtw_im_ref[...][:, None, :]
-
-    def merge_matmul(ar, ai):
-        """(N1*TB, 128) x (128, 128) DFT along lanes, on the MXU
-        (_merge_karatsuba: 3 real matmuls, fp32 HIGHEST — ~30% faster than
-        the 4-matmul form at equal accuracy, err ~7e-6 at N=4096)."""
-        yr, yi = _merge_karatsuba(ar, ai, dft_re_ref[...], dft_im_ref[...], n1 * tb)
-        return yr.reshape(n1, tb, LANES), yi.reshape(n1, tb, LANES)
-
-    def twiddle(ar, ai):
-        return ar * mtw_re - ai * mtw_im, ar * mtw_im + ai * mtw_re
-
-    if not reverse_order:
-        # Four-step twiddle is pre-folded into the last stage table
-        # (_tables_fwd_folded), so no explicit twiddle pass here.
-        vre, vim = _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd)
-        vre, vim = merge_matmul(vre, vim)
-    else:
-        vre, vim = merge_matmul(vre, vim)
-        vre, vim = twiddle(vre, vim)
-        vre, vim = _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd)
-
-    yre_ref[...] = jnp.swapaxes(vre, 0, 1).reshape(tb, n1 * LANES)
-    yim_ref[...] = jnp.swapaxes(vim, 0, 1).reshape(tb, n1 * LANES)
+    """One batch tile of the complex pipeline (see _cfft_tile)."""
+    yre_ref[...], yim_ref[...] = _cfft_tile(
+        xre_ref[...], xim_ref[...],
+        stw_re_ref[...], stw_im_ref[...], mtw_re_ref[...], mtw_im_ref[...],
+        dft_re_ref[...], dft_im_ref[...],
+        n1=n1, radices=radices, sign_fwd=sign_fwd, reverse_order=reverse_order,
+    )
 
 
 def _pallas_cfft_pair(
@@ -611,6 +635,166 @@ def _pallas_cfft_pair(
         ),
         interpret=_interpret(),
     )(xre, xim, stw_re, stw_im, mtw_re, mtw_im, dft_re, dft_im)
+
+    if pad:
+        yre, yim = yre[:b], yim[:b]
+    return yre, yim
+
+
+def _cfft_db_kernel(
+    xre_hbm,
+    xim_hbm,
+    stw_re_ref,
+    stw_im_ref,
+    mtw_re_ref,
+    mtw_im_ref,
+    dft_re_ref,
+    dft_im_ref,
+    yre_hbm,
+    yim_hbm,
+    inbuf,
+    outbuf,
+    in_sem,
+    out_sem,
+    *,
+    n1: int,
+    radices: tuple[int, ...],
+    sign_fwd: bool,
+    reverse_order: bool,
+    tb: int,
+    nchunks: int,
+):
+    """Double-buffered twin of _fft_kernel (see _rfft_db_kernel). The two
+    planes share (2, 2, TB, N) scratch buffers — slot-major, plane-minor —
+    so each direction needs one semaphore pair per slot, indexed [slot,
+    plane]."""
+    n = n1 * LANES
+
+    def in_dmas(slot, i):
+        return (
+            pltpu.make_async_copy(
+                xre_hbm.at[pl.ds(i * tb, tb), :], inbuf.at[slot, 0],
+                in_sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                xim_hbm.at[pl.ds(i * tb, tb), :], inbuf.at[slot, 1],
+                in_sem.at[slot, 1],
+            ),
+        )
+
+    def out_dmas(slot, i):
+        return (
+            pltpu.make_async_copy(
+                outbuf.at[slot, 0], yre_hbm.at[pl.ds(i * tb, tb), :],
+                out_sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                outbuf.at[slot, 1], yim_hbm.at[pl.ds(i * tb, tb), :],
+                out_sem.at[slot, 1],
+            ),
+        )
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+
+    def step(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            for dma in in_dmas(jax.lax.rem(i + 1, 2), i + 1):
+                dma.start()
+
+        for dma in in_dmas(slot, i):
+            dma.wait()
+        yre, yim = _cfft_tile(
+            inbuf[slot, 0], inbuf[slot, 1],
+            stw_re_ref[...], stw_im_ref[...], mtw_re_ref[...], mtw_im_ref[...],
+            dft_re_ref[...], dft_im_ref[...],
+            n1=n1, radices=radices, sign_fwd=sign_fwd,
+            reverse_order=reverse_order,
+        )
+
+        @pl.when(i >= 2)
+        def _():
+            for dma in out_dmas(slot, i - 2):
+                dma.wait()
+
+        outbuf[slot, 0] = yre
+        outbuf[slot, 1] = yim
+        for dma in out_dmas(slot, i):
+            dma.start()
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, step, None)
+    if nchunks >= 2:
+        for dma in out_dmas((nchunks - 2) % 2, nchunks - 2):
+            dma.wait()
+    for dma in out_dmas((nchunks - 1) % 2, nchunks - 1):
+        dma.wait()
+
+
+def _cfft_pair_db(
+    xre: jax.Array,
+    xim: jax.Array,
+    n: int,
+    forward: bool,
+    reverse_order: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Double-buffered twin of _pallas_cfft_pair (probe queue section I
+    decides dispatch)."""
+    n1 = n // LANES
+    if not reverse_order:
+        radices, (stw_re, stw_im), (dft_re, dft_im) = _tables_fwd_folded(n)
+        if not forward:
+            raise AssertionError("forward pipeline requires forward tables")
+        mtw_re = np.ones((n1, LANES), np.float32)
+        mtw_im = np.zeros((n1, LANES), np.float32)
+    else:
+        radices, (stw_re, stw_im), (mtw_re, mtw_im), (dft_re, dft_im) = _tables(n, forward)
+
+    b = xre.shape[0]
+    tb = _batch_tile(n, b)
+    pad = (-b) % tb
+    if pad:
+        xre = jnp.pad(xre, ((0, pad), (0, 0)))
+        xim = jnp.pad(xim, ((0, pad), (0, 0)))
+    bp = b + pad
+    nchunks = bp // tb
+
+    kern = functools.partial(
+        _cfft_db_kernel, n1=n1, radices=radices, sign_fwd=forward,
+        reverse_order=reverse_order, tb=tb, nchunks=nchunks,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops_mm = 8 * bp * n1 * LANES * LANES
+    flops_bf = int(2.5 * bp * n * max(1, np.log2(max(2, n1)))) * 2
+    yre, yim = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [vmem] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, tb, n), jnp.float32),
+            pltpu.VMEM((2, 2, tb, n), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm + flops_bf,
+            bytes_accessed=4 * (4 * bp * n),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(xre, jnp.float32), jnp.asarray(xim, jnp.float32),
+      jnp.asarray(stw_re), jnp.asarray(stw_im), mtw_re, mtw_im,
+      dft_re, dft_im)
 
     if pad:
         yre, yim = yre[:b], yim[:b]

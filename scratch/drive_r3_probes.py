@@ -458,4 +458,31 @@ if "I" in SECTIONS:
             print(f"  irfft N={n} B={b} {name} rep{rep}: {t:.1f} us = "
                   f"{b*n/t:.0f} Ms/s", flush=True)
 
+    # complex kernel: the big overlap candidate (serial bound = 82us IO +
+    # ~105us compute per direction at the headline shape — overlap would
+    # approach max() of the two). Round trip fwd(folded) + reverse.
+    n, b = 4096, 1024
+    ar = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+    ai = jax.device_put(rng.standard_normal((b, n)).astype(np.float32))
+
+    def crt(pair_fn, v):
+        r, i = v
+        sr, si = pair_fn(r, i, n, True, False)
+        br, bi = pair_fn(sr, si, n, False, True)
+        return br, bi
+
+    gc = jax.jit(lambda r, i: crt(pf._pallas_cfft_pair, (r, i)))
+    dc = jax.jit(lambda r, i: crt(pf._cfft_pair_db, (r, i)))
+    dg, di_ = gc(ar, ai), dc(ar, ai)
+    d = max(float(jnp.max(jnp.abs(dg[0] - di_[0]))),
+            float(jnp.max(jnp.abs(dg[1] - di_[1]))))
+    print(f"  cfft rt db-vs-grid max abs diff: {d:.2e} (expect 0)", flush=True)
+    assert d < 1e-2 * n, d
+    for rep in range(3):
+        for name, impl in (("grid", pf._pallas_cfft_pair),
+                           ("db", pf._cfft_pair_db)):
+            t = t_us(lambda v, _i=impl: crt(_i, v), (ar, ai))
+            print(f"  cfft rt N={n} B={b} {name} rep{rep}: {t:.1f} us = "
+                  f"{b*n/(t/2):.0f} Ms/s/dir", flush=True)
+
 print("\nDONE", flush=True)

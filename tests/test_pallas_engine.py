@@ -904,3 +904,20 @@ def test_irfft_double_buffered_matches_grid(rng):
     j = pallas_fft._rfft_packed_joint_db(jnp.asarray(x), n, True)
     back = np.asarray(pallas_fft._irfft_packed_db(j[:, :m], j[:, m:], n, True)) / n
     np.testing.assert_allclose(back, x, atol=tol(n), rtol=0)
+
+
+@pytest.mark.parametrize("reverse_order", [False, True])
+def test_cfft_double_buffered_matches_grid(reverse_order, rng):
+    """Complex DB twin (_cfft_pair_db) is bit-identical to the grid kernel
+    in both pipeline orders (fwd folded / reverse unordered-consuming)."""
+    n = 512
+    b = 3 * pallas_fft._batch_tile(n, 10**9) - 8
+    xre = rng.standard_normal((b, n)).astype(np.float32)
+    xim = rng.standard_normal((b, n)).astype(np.float32)
+    fwd = not reverse_order  # reverse pipeline exercised as the inverse
+    g = pallas_fft._pallas_cfft_pair(
+        jnp.asarray(xre), jnp.asarray(xim), n, fwd, reverse_order)
+    d = pallas_fft._cfft_pair_db(
+        jnp.asarray(xre), jnp.asarray(xim), n, fwd, reverse_order)
+    np.testing.assert_array_equal(np.asarray(d[0]), np.asarray(g[0]))
+    np.testing.assert_array_equal(np.asarray(d[1]), np.asarray(g[1]))
