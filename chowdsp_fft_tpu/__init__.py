@@ -21,6 +21,7 @@ from .api import (  # noqa: F401
     FFT_BACKWARD,
     available_engines,
     engine_for,
+    engine_supports,
     FFT_COMPLEX,
     FFT_FORWARD,
     FFT_REAL,

@@ -74,6 +74,7 @@ __all__ = [
     "vector_width_bytes",
     "available_engines",
     "engine_for",
+    "engine_supports",
     "fft",
     "ifft",
     "rfft",
@@ -107,8 +108,21 @@ __all__ = [
 _ENGINES: dict[str, dict[str, Callable]] = {}
 
 
-def register_engine(name: str, fns: dict[str, Callable], supports: Callable[[FFTPlan], bool]):
-    _ENGINES[name] = {"fns": fns, "supports": supports}
+def register_engine(
+    name: str,
+    fns: dict[str, Callable],
+    supports: Callable[[FFTPlan], bool],
+    prefers: Callable[[FFTPlan], bool] | None = None,
+):
+    """``supports`` gates what the engine can serve (explicit ``engine=``
+    requests); ``prefers`` (default: same as ``supports``) gates what
+    ``engine="auto"`` hands it — engines drop plans they can run but are
+    measured slower on, and auto falls through to the next engine."""
+    _ENGINES[name] = {
+        "fns": fns,
+        "supports": supports,
+        "prefers": supports if prefers is None else prefers,
+    }
 
 
 def _stockham_rfft_packed(x, plan=None):
@@ -158,7 +172,7 @@ def _pick_engine(plan: FFTPlan, engine: str) -> dict[str, Callable]:
     # reference's AVX-then-SSE fallback (/root/reference/chowdsp_fft.cpp:258-280).
     for name in ("pallas", "stockham"):
         e = _ENGINES.get(name)
-        if e is not None and e["supports"](plan):
+        if e is not None and e["prefers"](plan):
             return e["fns"]
     raise AssertionError("stockham engine should always be available")
 
@@ -185,9 +199,19 @@ def engine_for(n: int, kind: str = FFT_COMPLEX) -> str:
     plan = cached_plan(n, kind)
     for name in ("pallas", "stockham"):
         e = _ENGINES.get(name)
-        if e is not None and e["supports"](plan):
+        if e is not None and e["prefers"](plan):
             return name
     raise AssertionError("stockham engine should always be available")
+
+
+def engine_supports(name: str, n: int, kind: str = FFT_COMPLEX) -> bool:
+    """Whether an explicit ``engine=name`` request can serve this transform
+    (a superset of what ``engine_for`` auto-selects: an engine may support a
+    plan it is measured slower on and therefore doesn't prefer)."""
+    e = _ENGINES.get(name)
+    if e is None:
+        raise ValueError(f"unknown engine {name!r}; have {sorted(_ENGINES)}")
+    return bool(e["supports"](cached_plan(n, kind)))
 
 
 def plan_bytes(n: int, kind: str = FFT_COMPLEX) -> int:

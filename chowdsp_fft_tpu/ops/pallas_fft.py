@@ -62,6 +62,7 @@ __all__ = [
     "irfft_packed",
     "convolve_irfft_packed",
     "supports_plan",
+    "prefer_plan",
     "merge_precision",
     "LANES",
 ]
@@ -159,6 +160,22 @@ def supports_plan(plan: FFTPlan) -> bool:
     # factors even (the packed level-1 real transform and the level-2
     # Hermitian assembly both split a factor in half).
     return _has_composite_split(n, real=plan.kind == FFT_REAL)
+
+
+def prefer_plan(plan: FFTPlan) -> bool:
+    """Auto-dispatch preference: ``supports_plan`` minus the plans the metal
+    engine is measured SLOWER on. Round-3 probe G (v5e): the medium smooth
+    non-multiples of 128 above the direct-DFT fallback (576/960/1440/3600,
+    two-level direct-DFT composites) run at 0.26–0.41x the portable
+    engine's round-trip speed — per-factor direct-DFT matmuls with K<128
+    waste the MXU and the two HBM round trips cost more than XLA's fused
+    chain. Explicit ``engine="pallas"`` still serves them (full-domain
+    parity with the reference SIMD tier, common.hpp:216-225); ``auto``
+    takes the faster engine, like the reference's AVX-vs-SSE size gate."""
+    if not supports_plan(plan):
+        return False
+    n = plan.n if plan.kind == FFT_REAL else plan.cfft_n
+    return n <= _MAX_SMALL_FALLBACK or n % LANES == 0
 
 
 def _interpret() -> bool:
@@ -1126,8 +1143,13 @@ def _rbatch_tile(n: int, b: int) -> int:
     # 137us fwd), 2^13: 64 (+17%), 2^14: 32 (+52%), 2^15: 32 (+16%) — with
     # a floor of 16 rows (sub-16-row tiles at N >= 2^16 are per-op
     # overhead-bound: 2^17 tb=8 was +42% slower) and a 256-row cap.
+    # Round-3 probe A (N=512 B=8192 fwd): 512 rows 106.7us vs 256 rows
+    # 111.9us (both reps agree) — the per-grid-step overhead still
+    # dominates at the smallest kernel sizes, so let the tile keep growing
+    # there; 256-row cap unchanged for N >= 1024 (2^19/N law still wins).
+    cap = 512 if n <= 512 else 256
     tb = max(16, (1 << 19) // n)
-    tb = max(8, min(256, tb, b8))
+    tb = max(8, min(cap, tb, b8))
     return (tb // 8) * 8
 
 
@@ -2515,7 +2537,11 @@ def _cfft_v2_l1_rev_kernel(
     yim_ref[...] = out(vim)
 
 
-_V2_BLOCK_BYTES = 8 << 20  # per-plane input-block cap (VMEM gate)
+# Per-plane input-block cap (VMEM gate). 8MB blocks OOM'd real-silicon
+# scoped VMEM (121M > 100M limit) at N=2^18 b=16: the in-kernel Stockham
+# pipeline keeps several block-sized fp32 temporaries live, so the stack
+# runs ~15x the input block. 4MB keeps the whole call under the limit.
+_V2_BLOCK_BYTES = 4 << 20
 
 
 def _v2_tile(b: int, mid: int, minor_len: int) -> int:
@@ -2684,22 +2710,19 @@ def _cfft_composite_v2_batched(xre, xim, n, forward):
 
 
 def _cfft_pair_large(xre, xim, n, forward, ordered):
-    b = xre.shape[0]
     cap = _v2_batch_cap(n)
-    if not ordered and cap:
-        # The unordered layout is contractual per PLAN (same as the
-        # reference: pffft z-domain data from one setup convolves across
-        # calls), so this gate is deliberately batch-FREE: always v2's
-        # natural order, batch-chunked when the blocks don't fit VMEM at
-        # this batch (cap > 0 implies the tiles fit at the chunk size —
-        # same VMEM inequality). A batch-gated v1 fallback here would
-        # emit the digit-transposed order for large batches and silently
-        # corrupt cross-batch convolve compositions (round-3 review).
+    if cap:
+        # v2's natural-order output serves both entries: it IS the ordered
+        # layout, and the plan's "unordered" layout is defined as the same
+        # thing (contractual per PLAN, like the reference's backend-private
+        # z-domain layouts — a batch-gated v1 fallback would emit the
+        # digit-transposed order for large batches and silently corrupt
+        # cross-batch convolve compositions; round-3 review). Batches past
+        # the VMEM cap run batch-chunked: probe H (2^18 b=64 round trip)
+        # measured chunked v2 at 7.9 vs v1's 5.1 Gs/s/dir — the chunk
+        # concat costs one HBM pass against the v1 chain's ~5 extra
+        # round trips.
         return _cfft_composite_v2_batched(xre, xim, n, forward)
-    if ordered and _v2_supported(n, b):
-        # Ordered output: v1 and v2 agree on the layout, so the
-        # batch-gated pick is purely a perf choice here.
-        return _cfft_composite_v2(xre, xim, n, forward)
     return _cfft_pair_large_v1(xre, xim, n, forward, ordered)
 
 
@@ -3502,4 +3525,5 @@ _api.register_engine(
         "convolve_irfft_packed": convolve_irfft_packed,
     },
     supports=supports_plan,
+    prefers=prefer_plan,
 )
