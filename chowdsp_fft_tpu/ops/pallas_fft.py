@@ -96,6 +96,21 @@ _MAX_COMPOSITE = 1 << 20  # two-level four-step (HBM-staged) upper bound
 _TILE_ELEMS = 1 << 17
 _VMEM_LIMIT = 100 * (1 << 20)
 
+# Ordered complex IO rides inside the kernel (minor-2D-transpose chain,
+# same pattern as the real kernel's to_plane) instead of a separate XLA
+# digit-transpose pass over HBM — but only for small row counts: the
+# in-kernel chain costs ~n1-proportional shuffle work, measured (round 4,
+# scratch/r4_ordered_ab.py) +8% fwd / ~tie rt at N=4096 (n1=32), a loss
+# at 2^13 and 2.2x slower at 2^15 (n1=256). None for "never", else the
+# largest n1 that takes the in-kernel form. Module knob so the on-chip
+# A/B can force either form.
+_ORDERED_IN_KERNEL_MAX_N1: int | None = 32
+
+
+def _ordered_in_kernel(n: int) -> bool:
+    cap = _ORDERED_IN_KERNEL_MAX_N1
+    return cap is not None and n // LANES <= cap
+
 
 def _batch_tile(n: int, b: int) -> int:
     """Complex-kernel batch tile: tb*N ~ 2^18 elements (half the real
@@ -505,18 +520,40 @@ def _cfft_tile(
     radices: tuple[int, ...],
     sign_fwd: bool,
     reverse_order: bool,
+    ordered_io: bool = False,
 ):
     """Shared body of the complex kernel, one (TB, N) plane-pair tile:
     forward pipeline (Stockham -> twiddle -> MXU merge) or, with
     reverse_order=True, the mirrored inverse pipeline (MXU merge ->
     twiddle -> Stockham), which consumes the unordered (k1, k2) layout
-    and emits natural time order."""
+    and emits natural time order.
+
+    With ordered_io=True the frequency-domain side of the tile uses
+    NATURAL bin order (k = k1 + n1*k2) instead of the engine-private
+    (k1, k2) layout: the digit transpose is folded into the kernel as
+    the same minor-2D-transpose chain the real kernel's to_plane uses
+    (swap to batch-minor, reorder the now-major digits for free,
+    transpose back) instead of a separate XLA transpose pass over HBM
+    (~150us at B=1024/N=4096 — probe D, benchmarks/NOTES.md round 4)."""
     tb = xre.shape[0]
-    # (TB, N) -> (N1, TB, 128): the batch-minor orientation keeps every
-    # Stockham move at whole-vreg granularity; the two swapaxes cost ~24us
-    # total at B=1024/N=4096 on v5e, vs ~220us saved in the stages.
-    vre = jnp.swapaxes(xre.reshape(tb, n1, LANES), 0, 1)
-    vim = jnp.swapaxes(xim.reshape(tb, n1, LANES), 0, 1)
+    lanes = LANES
+
+    def from_plane_ordered(x):
+        # (TB, N) natural bins -> (N1, TB, 128) engine layout. Minor 2D
+        # transpose -> leading-dim expand (layout no-op) -> free major
+        # swap -> minor transpose back to batch-major tiles.
+        v = jnp.swapaxes(x, 0, 1).reshape(lanes, n1, tb)  # [k2, k1, t]
+        return jnp.swapaxes(jnp.swapaxes(v, 0, 1), 1, 2)  # (n1, tb, 128)
+
+    if reverse_order and ordered_io:
+        vre = from_plane_ordered(xre)
+        vim = from_plane_ordered(xim)
+    else:
+        # (TB, N) -> (N1, TB, 128): the batch-minor orientation keeps every
+        # Stockham move at whole-vreg granularity; the two swapaxes cost
+        # ~24us total at B=1024/N=4096 on v5e, vs ~220us saved in the stages.
+        vre = jnp.swapaxes(xre.reshape(tb, n1, LANES), 0, 1)
+        vim = jnp.swapaxes(xim.reshape(tb, n1, LANES), 0, 1)
 
     mtw_re = mtw_re[:, None, :]  # (N1, 1, 128)
     mtw_im = mtw_im[:, None, :]
@@ -536,6 +573,15 @@ def _cfft_tile(
         # (_tables_fwd_folded), so no explicit twiddle pass here.
         vre, vim = _stockham_rows(vre, vim, radices, stw_re, stw_im, sign_fwd)
         vre, vim = merge_matmul(vre, vim)
+        if ordered_io:
+            def to_plane_ordered(v):
+                # (N1, TB, 128) -> (TB, N) natural: minor transpose ->
+                # free major swap (bin k = k1 + n1*k2 becomes row-major)
+                # -> leading collapse (no-op) -> transpose back.
+                v = jnp.swapaxes(jnp.swapaxes(v, 1, 2), 0, 1)  # [k2, k1, t]
+                return jnp.swapaxes(v.reshape(n1 * lanes, tb), 0, 1)
+
+            return to_plane_ordered(vre), to_plane_ordered(vim)
     else:
         vre, vim = merge_matmul(vre, vim)
         vre, vim = twiddle(vre, vim)
@@ -562,6 +608,7 @@ def _fft_kernel(
     radices: tuple[int, ...],
     sign_fwd: bool,
     reverse_order: bool,
+    ordered_io: bool = False,
 ):
     """One batch tile of the complex pipeline (see _cfft_tile)."""
     yre_ref[...], yim_ref[...] = _cfft_tile(
@@ -569,6 +616,7 @@ def _fft_kernel(
         stw_re_ref[...], stw_im_ref[...], mtw_re_ref[...], mtw_im_ref[...],
         dft_re_ref[...], dft_im_ref[...],
         n1=n1, radices=radices, sign_fwd=sign_fwd, reverse_order=reverse_order,
+        ordered_io=ordered_io,
     )
 
 
@@ -578,6 +626,7 @@ def _pallas_cfft_pair(
     n: int,
     forward: bool,
     reverse_order: bool,
+    ordered_io: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the kernel over (B, N) float32 planes. Batch is padded to the
     tile size; tables ride along as replicated inputs."""
@@ -610,6 +659,7 @@ def _pallas_cfft_pair(
         radices=radices,
         sign_fwd=forward,
         reverse_order=reverse_order,
+        ordered_io=ordered_io,
     )
 
     batch_spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1100,21 +1150,32 @@ def _irfft_core(
     vim0 = jnp.where(lane == 0, 0.0, vim[0:1])  # true Im X[0] = 0
     vim = jnp.concatenate([vim0, vim[1:]], axis=0)
 
-    rows = n1 * tb
-    # The k1 -> (N1-k1) % N1 permutation, applied to v up front. Unrolled
-    # static slices: whole-(TB,64)-tile register moves, bit-exact (an MXU
-    # 0/1 matmul at DEFAULT precision would round the data through bf16).
-    def perm0(a):
+    # Hermitian half-row merge: the output x is real, and the Stockham
+    # stages act as independent inverse length-N1 FFTs over k1 (one per
+    # q2 lane), so their input w = twiddle(merge(v)) must be Hermitian
+    # along k1: w[k1]* = w[(N1-k1) % N1]. The merge + twiddle therefore
+    # only COMPUTE rows k1 = 0..N1//2; the remaining rows are an exact
+    # conjugate mirror (whole-tile slice moves + one negation), cutting
+    # the dominant 3-matmul fp32-HIGHEST Karatsuba from N1 to N1//2+1
+    # rows — the structural reason the inverse used to run ~35% behind
+    # the forward (round-4 probe C; the forward's half-spectrum merge
+    # was always row-minimal). Mirrors the reference's rfftb, which also
+    # does half-spectrum-sized work throughout (sse:1358-1416).
+    nc = n1 // 2 + 1  # computed rows 0..n1//2 (self-paired ends)
+    rows = nc * tb
+
+    def perm_half(a):
+        # rows (N1 - k1) % N1 for k1 = 0..nc-1: [a[0], a[n1-1], ..., a[n1-nc+1]]
         return jnp.concatenate(
-            [a[0:1]] + [a[i : i + 1] for i in range(n1 - 1, 0, -1)], axis=0
+            [a[0:1]] + [a[n1 - i : n1 - i + 1] for i in range(1, nc)], axis=0
         )
 
-    # One stacked K=128 Karatsuba: [v | conj(Pv)] @ [Mt; Mbf].
-    ar = jnp.concatenate([vre, perm0(vre)], axis=2)
-    ai = jnp.concatenate([vim, -perm0(vim)], axis=2)
+    # One stacked K=128 Karatsuba over the computed rows: [v | conj(Pv)].
+    ar = jnp.concatenate([vre[:nc], perm_half(vre)], axis=2)
+    ai = jnp.concatenate([vim[:nc], -perm_half(vim)], axis=2)
     ur, ui = _merge_karatsuba(ar, ai, ms_re, ms_im, rows, k=LANES)
-    ur = ur.reshape(n1, tb, LANES)
-    ui = ui.reshape(n1, tb, LANES)
+    ur = ur.reshape(nc, tb, LANES)
+    ui = ui.reshape(nc, tb, LANES)
     # Row-0 fix: generic extension row -> lane-shifted row + Nyquist column.
     fr, fi = _merge_karatsuba(vre[0:1], -vim[0:1], d_re, d_im, tb, k=half)
     fr = fr.reshape(1, tb, LANES) + nyq * c0_re[None]
@@ -1122,11 +1183,17 @@ def _irfft_core(
     ur = jnp.concatenate([ur[0:1] + fr, ur[1:]], axis=0)
     ui = jnp.concatenate([ui[0:1] + fi, ui[1:]], axis=0)
 
-    mtw_re = mtw_re[:, None, :]
-    mtw_im = mtw_im[:, None, :]
-    ur, ui = ur * mtw_re - ui * mtw_im, ur * mtw_im + ui * mtw_re
+    mtw_re = mtw_re[:nc, None, :]
+    mtw_im = mtw_im[:nc, None, :]
+    wr, wi = ur * mtw_re - ui * mtw_im, ur * mtw_im + ui * mtw_re
+    if n1 > nc:
+        # Mirror rows nc..n1-1: w[k1] = conj(w[n1-k1]).
+        mir = [wr[j : j + 1] for j in range(n1 - nc, 0, -1)]
+        wr = jnp.concatenate([wr] + mir, axis=0)
+        mii = [wi[j : j + 1] for j in range(n1 - nc, 0, -1)]
+        wi = jnp.concatenate([wi] + [-m for m in mii], axis=0)
     xr, _ = _stockham_rows(
-        ur, ui, radices, stw_re, stw_im, False, drop_last_imag=True
+        wr, wi, radices, stw_re, stw_im, False, drop_last_imag=True
     )
     return xr
 
@@ -2816,18 +2883,24 @@ def _cfft_pair_impl(xre, xim, n, direction, ordered):
         # (576, 960, ...): the two-level composite (direct-DFT levels for
         # the medium sizes).
         return _cfft_pair_large(xre, xim, n, forward, ordered)
+    in_kernel = ordered and _ordered_in_kernel(n)
     if forward:
-        yre, yim = _pallas_cfft_pair(xre, xim, n, forward=True, reverse_order=False)
-        if ordered:
+        yre, yim = _pallas_cfft_pair(
+            xre, xim, n, forward=True, reverse_order=False,
+            ordered_io=in_kernel,
+        )
+        if ordered and not in_kernel:
             yre = _digit_transpose(yre, n, inverse=False)
             yim = _digit_transpose(yim, n, inverse=False)
         return yre, yim
     # Backward: bring input into (k1, k2) layout if it is in natural order,
     # then run the mirrored pipeline (emits natural time order directly).
-    if ordered:
+    if ordered and not in_kernel:
         xre = _digit_transpose(xre, n, inverse=True)
         xim = _digit_transpose(xim, n, inverse=True)
-    return _pallas_cfft_pair(xre, xim, n, forward=False, reverse_order=True)
+    return _pallas_cfft_pair(
+        xre, xim, n, forward=False, reverse_order=True, ordered_io=in_kernel
+    )
 
 
 def _cfft_complex(x, plan, direction, ordered):

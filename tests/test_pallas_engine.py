@@ -935,3 +935,31 @@ def test_cfft_double_buffered_matches_grid(reverse_order, rng):
         jnp.asarray(xre), jnp.asarray(xim), n, fwd, reverse_order)
     np.testing.assert_array_equal(np.asarray(d[0]), np.asarray(g[0]))
     np.testing.assert_array_equal(np.asarray(d[1]), np.asarray(g[1]))
+
+
+@pytest.mark.parametrize("n", [512, 4096])
+def test_cfft_ordered_in_kernel_matches_xla_transpose(n, rng):
+    """Ordered complex IO has two implementations: the in-kernel
+    minor-transpose chain (default for n1 <= _ORDERED_IN_KERNEL_MAX_N1)
+    and the XLA digit-transpose pass. Same permutation, so outputs must
+    be bit-identical both directions, and the round trip must return
+    N * x through either form."""
+    b = 6
+    xre = rng.standard_normal((b, n)).astype(np.float32)
+    xim = rng.standard_normal((b, n)).astype(np.float32)
+    orig = pallas_fft._ORDERED_IN_KERNEL_MAX_N1
+    try:
+        out = {}
+        for name, cap in (("inkernel", 10**9), ("xla", None)):
+            pallas_fft._ORDERED_IN_KERNEL_MAX_N1 = cap
+            fr, fi = pallas_fft._cfft_pair(
+                jnp.asarray(xre), jnp.asarray(xim), n,
+                pallas_fft.FFT_FORWARD, True)
+            br, bi = pallas_fft._cfft_pair(fr, fi, n, pallas_fft.FFT_BACKWARD, True)
+            out[name] = tuple(np.asarray(a) for a in (fr, fi, br, bi))
+        for a, c in zip(out["inkernel"], out["xla"]):
+            np.testing.assert_array_equal(a, c)
+        np.testing.assert_allclose(out["inkernel"][2] / n, xre, atol=tol(n), rtol=0)
+        np.testing.assert_allclose(out["inkernel"][3] / n, xim, atol=tol(n), rtol=0)
+    finally:
+        pallas_fft._ORDERED_IN_KERNEL_MAX_N1 = orig
