@@ -46,22 +46,28 @@ def roofline_msamples() -> tuple[float, float]:
     return BATCH * N / r.seconds_memory / 1e6, r.samples_per_s_serial / 1e6
 
 
-def _probe_backend(timeout_s: float = 120.0) -> bool:
+def _probe_backend(timeout_s: float = 240.0, attempts: int = 2) -> bool:
     """The axon tunnel hangs backend init forever during outages (no error,
     no timeout — skills/verify gotchas). Probe in a subprocess so the bench
-    emits an explicit JSON error line instead of hanging the driver."""
+    emits an explicit JSON error line instead of hanging the driver.
+    Generous timeout + one retry: under host CPU contention (e.g. a test
+    suite running concurrently) a healthy init once exceeded 120s and
+    produced a false outage report (round 4)."""
     import subprocess
     import sys
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(float(jax.numpy.sum(jax.numpy.ones((8,128)))))"],
-            timeout=timeout_s, capture_output=True, text=True,
-        )
-        return "1024" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(float(jax.numpy.sum(jax.numpy.ones((8,128)))))"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if "1024" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main() -> None:
@@ -91,9 +97,13 @@ def main() -> None:
         re, im = cf.rfft_packed(v)
         # Carry update must (a) depend on the result so the transform can't
         # be hoisted/elided and (b) cost far less than the transform itself.
-        # The Pallas call is opaque to XLA, so touching one column forces
-        # the whole kernel.
-        return v + re[:, :1] * 1e-30
+        # The Pallas call is opaque to XLA, so touching one ROW forces the
+        # whole kernel. Row (1, N)-broadcast, not column: the (B, 1) -> (B, N)
+        # column broadcast is itself the known TPU layout pathology and
+        # dominated the small-N fwd numbers (round-4 carry A/B: 592 us col
+        # vs 360 us row at N=32, tied at N=4096 — benchmarks/NOTES.md).
+        pad = jnp.zeros((1, v.shape[1] - re.shape[1]), re.dtype)
+        return v + jnp.concatenate([re[:1], pad], axis=1) * 1e-30
 
     def make_loop(iters):
         @jax.jit

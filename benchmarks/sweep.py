@@ -175,11 +175,20 @@ def _config2_row(rows, rng, n, work):
     t_r = measure_pos(body_r, x) / 2.0
 
     # Forward-only (the headline bench's basis, bench.py): the carry
-    # touches one spectrum column so the transform can't be elided;
-    # the Pallas call is opaque so the whole kernel is forced.
+    # touches one spectrum ROW so the transform can't be elided; the
+    # Pallas call is opaque so the whole kernel is forced. Row, not
+    # column: the (B, 1) -> (B, N) column broadcast is the known TPU
+    # layout pathology and dominated the tall-skinny fwd rows (round-4
+    # carry A/B: 592 vs 360 us at N=32 — NOTES.md).
+    import jax.numpy as _jnp
+
+    def _row_carry(v, out):
+        pad = _jnp.zeros((1, v.shape[1] - out.shape[1]), out.dtype)
+        return v + _jnp.concatenate([out[:1], pad], axis=1) * 1e-30
+
     def body_r_fwd(v):
         re, _ = cf.rfft_packed(v)
-        return v + re[:, :1] * 1e-30
+        return _row_carry(v, re)
 
     t_rf = measure_pos(body_r_fwd, x)
 
@@ -193,7 +202,7 @@ def _config2_row(rows, rng, n, work):
     def body_c_fwd(v):
         r, i = v
         sr, si = cf.fft_planes(r, i)
-        return r + sr[:, :1] * 1e-30, i + si[:, :1] * 1e-30
+        return r + sr[:1, :] * 1e-30, i + si[:1, :] * 1e-30
 
     t_cf = measure_pos(body_c_fwd, (zr, zi))
     r_ms = b * n / t_r / 1e6

@@ -1183,8 +1183,11 @@ def _irfft_core(
     ur = jnp.concatenate([ur[0:1] + fr, ur[1:]], axis=0)
     ui = jnp.concatenate([ui[0:1] + fi, ui[1:]], axis=0)
 
-    mtw_re = mtw_re[:nc, None, :]
-    mtw_im = mtw_im[:nc, None, :]
+    # NB: slice and expand_dims as two steps — the combined `[:nc, None, :]`
+    # form routes through jnp's gather path, which Mosaic rejects on TPU
+    # ("Shape mismatch in input, indices and output"; interpret mode hides it).
+    mtw_re = jnp.expand_dims(mtw_re[:nc], 1)
+    mtw_im = jnp.expand_dims(mtw_im[:nc], 1)
     wr, wi = ur * mtw_re - ui * mtw_im, ur * mtw_im + ui * mtw_re
     if n1 > nc:
         # Mirror rows nc..n1-1: w[k1] = conj(w[n1-k1]).
