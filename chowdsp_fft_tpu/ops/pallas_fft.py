@@ -1209,16 +1209,24 @@ def _rbatch_tile(n: int, b: int) -> int:
     rows and by scoped VMEM."""
     b8 = -(-b // 8) * 8  # don't pad tiny batches up to a huge tile
     # Swept on v5e with the column-packed merge (NOTES.md round 2):
-    # tb*N ~ 2^19 elements wins at every kernel size — 2^12: 128 (125 vs
-    # 137us fwd), 2^13: 64 (+17%), 2^14: 32 (+52%), 2^15: 32 (+16%) — with
-    # a floor of 16 rows (sub-16-row tiles at N >= 2^16 are per-op
-    # overhead-bound: 2^17 tb=8 was +42% slower) and a 256-row cap.
-    # Round-3 probe A (N=512 B=8192 fwd): 512 rows 106.7us vs 256 rows
-    # 111.9us (both reps agree) — the per-grid-step overhead still
-    # dominates at the smallest kernel sizes, so let the tile keep growing
-    # there; 256-row cap unchanged for N >= 1024 (2^19/N law still wins).
+    # tb*N ~ 2^19 elements wins at kernel sizes <= 2^13 — 2^12: 128 (125
+    # vs 137us fwd), 2^13: 64 (+17%). Round-3 probe A (N=512 B=8192 fwd):
+    # 512 rows 106.7us vs 256 rows 111.9us — per-grid-step overhead still
+    # dominates at the smallest kernel sizes, so let the tile keep
+    # growing there. Round-4/5 tile probes (row-carry harness,
+    # scratch/r5_tile_probe*.py): the optimum GROWS with N — 2^14: 64
+    # beats 32 by 13-30% (256 loses), 2^15: 32/64/128 all ~equal and
+    # ~1.3x over 16, >= 2^16: the 2^19 law collapses (2^16 tb=16 at 13.1
+    # vs tb=64 at 27.1 Gs/s, 2.1x; 2^17 tb=32 +34% over 16) — take the
+    # whole batch up to a 16 MB (2^22-element) input tile there.
     cap = 512 if n <= 512 else 256
-    tb = max(16, (1 << 19) // n)
+    if n < (1 << 14):
+        t_n = (1 << 19) // n
+    elif n < (1 << 16):
+        t_n = 64
+    else:
+        t_n = (1 << 22) // n
+    tb = max(16, t_n)
     tb = max(8, min(cap, tb, b8))
     return (tb // 8) * 8
 
