@@ -46,28 +46,37 @@ def roofline_msamples() -> tuple[float, float]:
     return BATCH * N / r.seconds_memory / 1e6, r.samples_per_s_serial / 1e6
 
 
-def _probe_backend(timeout_s: float = 240.0, attempts: int = 2) -> bool:
+def _probe_backend(budget_s: float = 600.0) -> bool:
     """The axon tunnel hangs backend init forever during outages (no error,
     no timeout — skills/verify gotchas). Probe in a subprocess so the bench
     emits an explicit JSON error line instead of hanging the driver.
-    Generous timeout + one retry: under host CPU contention (e.g. a test
-    suite running concurrently) a healthy init once exceeded 120s and
+
+    Bounded retry-with-backoff over a ~10-minute budget (VERDICT r4 task 2:
+    BENCH_r04 recorded 0.0 because a transient outage coincided with the
+    single capture attempt). Individual probes get a generous timeout —
+    under host CPU contention a healthy init once exceeded 120s and
     produced a false outage report (round 4)."""
     import subprocess
     import sys
 
-    for _ in range(attempts):
+    deadline = time.monotonic() + budget_s
+    timeout_s, backoff_s = 180.0, 15.0
+    while True:
+        attempt_budget = min(timeout_s, max(30.0, deadline - time.monotonic()))
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(float(jax.numpy.sum(jax.numpy.ones((8,128)))))"],
-                timeout=timeout_s, capture_output=True, text=True,
+                timeout=attempt_budget, capture_output=True, text=True,
             )
             if "1024" in r.stdout:
                 return True
         except subprocess.TimeoutExpired:
             pass
-    return False
+        if time.monotonic() + backoff_s >= deadline:
+            return False
+        time.sleep(backoff_s)
+        backoff_s = min(60.0, backoff_s * 2)
 
 
 def main() -> None:

@@ -22,6 +22,19 @@ Semantics preserved from the reference:
   differ); this module guarantees only that unordered-forward ->
   convolve -> unordered-backward round-trips.
 
+In-place capability (the reference documents "input and output may alias",
+/root/reference/chowdsp_fft.h:136, and its own bench transforms in place):
+the complex metal kernels declare ``input_output_aliases``, so under
+``jax.jit`` XLA lands the output planes on the input pages WHENEVER the
+input value is dead after the call — the functional-JAX form of in-place.
+Callers opt in simply by not reusing the input (chains, scan carries,
+donated jit arguments via ``jax.jit(f, donate_argnums=...)``); callers that
+keep the input alive still get value semantics, at the cost of a defensive
+copy XLA inserts (measured +25% on the mid-band complex kernel vs the 30%
+in-place win — benchmarks/NOTES.md round 5). Real-transform kernels have
+asymmetric in/out shapes and never alias; their IO footprint already sits
+in the fast HBM window.
+
 Engine dispatch (the TPU analog of the reference's AVX-vs-SSE runtime
 dispatch via pointer tagging, /root/reference/chowdsp_fft.cpp:213-280):
 ``engine="auto"`` picks the Pallas metal engine when the size/backend

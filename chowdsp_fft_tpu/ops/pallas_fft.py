@@ -106,6 +106,25 @@ _VMEM_LIMIT = 100 * (1 << 20)
 # A/B can force either form.
 _ORDERED_IN_KERNEL_MAX_N1: int | None = 32
 
+# In-place (buffer-donating) kernel IO: declare input_output_aliases on
+# every 2-plane kernel whose in/out BlockSpecs are identical, so the output
+# planes land on the input pages. Round-5 measurement (r5_stream_probe +
+# r5_io_floor_probe, benchmarks/NOTES.md): the v5e HBM controller runs a
+# kernel at the full duplex bound only while the LIVE in+out footprint is
+# <= ~32 MB — a 2in+2out complex kernel at 16 MB/plane (64 MB live) is
+# floored at ~0.5x duplex, and the alias halves the footprint back into
+# the fast window (2.2x pass-through). XLA keeps the semantics functional:
+# when the caller still needs the input value it inserts a defensive copy,
+# so this is also the TPU-native form of the reference's documented
+# "input and output may alias" capability (/root/reference/chowdsp_fft.h:136).
+# Module switch (not a runtime arg) so the on-chip A/B can force either form.
+_ALIAS_KERNELS = True
+
+
+def _alias_io(k: int = 2) -> dict[int, int] | None:
+    """input_output_aliases for the first k in-planes -> k out-planes."""
+    return {i: i for i in range(k)} if _ALIAS_KERNELS else None
+
 
 def _ordered_in_kernel(n: int) -> bool:
     cap = _ORDERED_IN_KERNEL_MAX_N1
@@ -696,6 +715,9 @@ def _pallas_cfft_pair(
             bytes_accessed=4 * (4 * bp * n),
             transcendentals=0,
         ),
+        # In/out BlockSpecs are identical, so each grid step rewrites
+        # exactly the pages it just read — safe to alias (see _ALIAS_KERNELS).
+        input_output_aliases=_alias_io() or {},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -2235,6 +2257,9 @@ def _small_call(kern, inputs, tables, n_out: int, num_out: int):
         zeros = (0,) * len(shape)
         return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
 
+    # 2-plane in-place form where shapes admit it (the complex small kernel:
+    # 2 in == 2 out, identical specs) — see _ALIAS_KERNELS.
+    n_alias = min(len(inputs), num_out) if n_in == n_out else 0
     outs = pl.pallas_call(
         kern,
         grid=(rp // tb,),
@@ -2248,6 +2273,7 @@ def _small_call(kern, inputs, tables, n_out: int, num_out: int):
             for _ in range(num_out)
         ],
         out_shape=[jax.ShapeDtypeStruct((rp, n_out), jnp.float32) for _ in range(num_out)],
+        input_output_aliases=_alias_io(n_alias) or {},
         cost_estimate=pl.CostEstimate(
             flops=8 * rp * n_in * n_out,
             bytes_accessed=4 * rp * (len(inputs) * n_in + num_out * n_out),
@@ -2665,11 +2691,18 @@ def _v2_table(arr):
     return (arr, shape, lambda k, z=zeros: z)
 
 
-def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_idx, out_shape):
+def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_idx, out_shape,
+             alias: bool = False):
     """Shared pallas_call driver for the composite-v2 kernels: 1-D grid over
     minor tiles (a 2-D grid with leading-1 blocks costs 199s of Mosaic
     compile time — NOTES.md round 2), tables replicated, twiddle slabs
-    sliced by the grid index via their own index maps."""
+    sliced by the grid index via their own index maps.
+
+    alias=True declares the 2-plane in-place form (_ALIAS_KERNELS). Only
+    legal for the level-2 kernels, whose in/out BlockSpecs are identical
+    ((b, c, ta) at (0, 0, k) both ways); the level-1 kernels emit a
+    minor-TRANSPOSED block at a different grid offset, so an aliased write
+    at step k would clobber input pages still unread by steps > k."""
     n_elems = int(np.prod(out_shape[0]))
     specs = [pl.BlockSpec(in_block, in_idx, memory_space=pltpu.VMEM) for _ in inputs]
     for t_arr, t_block, t_idx in tables:
@@ -2686,6 +2719,7 @@ def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_
             jax.ShapeDtypeStruct(out_shape[0], jnp.float32),
             jax.ShapeDtypeStruct(out_shape[0], jnp.float32),
         ],
+        input_output_aliases=(_alias_io() if alias else None) or {},
         cost_estimate=pl.CostEstimate(
             flops=16 * n_elems,
             bytes_accessed=4 * 4 * n_elems,
@@ -2738,6 +2772,10 @@ def _cfft_composite_v2(xre, xim, n, forward):
             (b, c, ta), lambda k: (0, 0, k),
             (b, c, ta), lambda k: (0, 0, k),
             [(b, c, a)],
+            # alias measured OFF here: level-2 aliasing costs ~5% at 2^18
+            # (fwd 504 -> 531us, rt 933 -> 964 — scratch/logs/
+            # r5_alias_ab2.log), likely lost L1/L2 pipelining; the
+            # standalone-kernel win does not transfer to the chain.
         )
         return yr.reshape(b, n), yi.reshape(b, n)
 
@@ -2758,6 +2796,7 @@ def _cfft_composite_v2(xre, xim, n, forward):
         (b, c, ta), lambda k: (0, 0, k),
         (b, c, ta), lambda k: (0, 0, k),
         [(b, c, a)],
+        # alias measured OFF (see forward level 2).
     )
     k1r = functools.partial(_cfft_v2_l1_rev_kernel, n1=n1a, radices=rad_a)
     yr, yi = _v2_call(

@@ -131,6 +131,21 @@ def fft_roofline(
         in_bytes = n * 8
         out_bytes = n * 8
     t_mem = levels * batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
+    if kind != "real" and levels >= 2:
+        # HBM-footprint law (measured, round 5: r5_io_floor_probe /
+        # r5_stream_probe, benchmarks/NOTES.md): a 2in+2out fp32 kernel
+        # whose LIVE in+out pages exceed ~32 MB runs at ~half the duplex
+        # rate; <= 32 MB (or outputs aliased onto the input pages) runs at
+        # the full duplex bound. The ONE-level complex kernel ships with
+        # input_output_aliases and stays un-floored; the composite's level
+        # kernels measurably cannot alias (level-2 aliasing costs 5%,
+        # r5_alias_ab2.log — the chain loses its L1/L2 pipelining), so
+        # each un-aliased level pays the floored rate. This re-derived
+        # tier lands within 0.5% of silicon at 2^18 (predicted 506us vs
+        # measured 504us fwd, b*n=2^22 — NOTES.md round-5 tier entry).
+        live_bytes = 4 * batch * n * 4  # 2 in + 2 out fp32 planes
+        if live_bytes > 32 * (1 << 20):
+            t_mem *= 2.0
 
     row_unit = chip.f32_passes / chip.mxu_rows_per_cycle / chip.mxu_clock_hz
     merge_rows = batch * max(1, n // merge_lanes)

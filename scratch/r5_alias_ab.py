@@ -24,6 +24,11 @@ import chowdsp_fft_tpu as cf  # noqa: F401
 from chowdsp_fft_tpu.ops import pallas_fft as pf
 from chowdsp_fft_tpu.utils.profiling import op_seconds
 
+# The production kernels now carry input_output_aliases behind this switch
+# (round-5 wiring); force it OFF so the "cur" baselines here stay the
+# un-aliased round-4 form and the A/B stays meaningful.
+pf._ALIAS_KERNELS = False
+
 LANES = pf.LANES
 print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
@@ -96,12 +101,17 @@ for e in (9, 12):
         fr, fi = pf._pallas_cfft_pair(r, i, n, True, False)
         return r + fr[:1] * 1e-30, i + fi[:1] * 1e-30
 
-    def ali_fwd_dead(v):  # carry replaced by output: input dies
-        r, i = v
+    scale = float(n) ** -0.5  # Parseval: fwd multiplies energy by n exactly
+
+    def ali_fwd_dead(v):  # carry = scaled output ONLY: the input dies, XLA
+        r, i = v          # may truly donate it (the chain/scan-carry regime)
         fr, fi = cfft_pair_alias(r, i, n, True, False)
-        return fr * 1e-15 + r * (1 - 1e-30), fi * 1e-15 + i
-        # keep magnitudes bounded: out feeds carry, in also used ->
-        # actually this keeps r live; see ali_fwd_live for the live case.
+        return fr * scale, fi * scale
+
+    def cur_fwd_dead(v):  # un-aliased twin of the dead-input body
+        r, i = v
+        fr, fi = pf._pallas_cfft_pair(r, i, n, True, False)
+        return fr * scale, fi * scale
 
     def ali_fwd_chain(v):  # true chain: carry IS the output (bounded via inv)
         r, i = v
@@ -123,18 +133,45 @@ for e in (9, 12):
     CASES = [
         ("cur fwd (live in)", cur_fwd, (16, 272)),
         ("ali fwd live     ", ali_fwd_live, (16, 272)),
+        ("cur fwd dead     ", cur_fwd_dead, (16, 272)),
+        ("ali fwd dead     ", ali_fwd_dead, (16, 272)),
         ("cur rt chain     ", cur_chain, (8, 136)),
         ("ali rt chain     ", ali_fwd_chain, (8, 136)),
     ]
-    for rep in range(3):
-        for name, body, pair in CASES:
-            try:
-                t = t_us(body, (zr, zi), pair=pair)
-                per = t / (2 if "rt" in name else 1)
-                print(f"  2^{e} {name} rep{rep}: {t:.1f} us = "
-                      f"{b*n/per:.0f} Ms/s/dir", flush=True)
-            except Exception as ex:
-                print(f"  2^{e} {name} rep{rep}: FAIL {type(ex).__name__}: "
-                      f"{str(ex)[:120]}", flush=True)
+
+    # Compile each scan loop ONCE (the tunnel is in its slow-compile state,
+    # ~65s/kernel — round-3/4 "transient blowup"), then interleave timing
+    # rounds over the cached jits, min-of-rounds slope per case.
+    import time as _time
+
+    def make_loop(body, iters):
+        @jax.jit
+        def loop(v):
+            def step(c, _):
+                return body(c), None
+            c, _ = jax.lax.scan(step, v, None, length=iters)
+            return jax.tree_util.tree_map(lambda a: a.sum(), c)
+        return loop
+
+    loops = {}
+    for name, body, pair in CASES:
+        loops[name] = [(it, make_loop(body, it)) for it in pair]
+        for _, lp in loops[name]:
+            jax.tree_util.tree_map(float, lp((zr, zi)))  # compile + warm
+        print(f"  2^{e} {name} compiled", flush=True)
+
+    best = {name: [float("inf")] * 2 for name, _, _ in CASES}
+    for rep in range(4):
+        for name, _, pair in CASES:
+            for j, (it, lp) in enumerate(loops[name]):
+                t0 = _time.perf_counter()
+                jax.tree_util.tree_map(float, lp((zr, zi)))
+                best[name][j] = min(best[name][j], _time.perf_counter() - t0)
+        for name, _, pair in CASES:
+            lo, hi = pair
+            t = (best[name][1] - best[name][0]) / (hi - lo) * 1e6
+            per = t / (2 if "rt" in name else 1)
+            print(f"  2^{e} {name} round{rep}: {t:.1f} us = "
+                  f"{b*n/per:.0f} Ms/s/dir", flush=True)
 
 print("DONE", flush=True)

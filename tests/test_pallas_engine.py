@@ -391,14 +391,24 @@ def test_medium_composite_grad(rng):
         return jnp.sum(re**2) + jnp.sum(im**2)
 
     g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
-    # Parseval: d/dx sum|X|^2 with the packed layout == 2N * x (DC/Nyq
-    # carry weight 1, paired bins appear once but conjugate-pair to 2).
-    eps = np.zeros_like(x)
-    eps[0, 7] = 1e-2
-    f0 = float(loss(jnp.asarray(x)))
-    f1 = float(loss(jnp.asarray(x + eps)))
-    fd = (f1 - f0) / 1e-2
-    assert abs(g[0, 7] - fd) < 2e-2 * max(1.0, abs(fd))
+    # Analytic gradient. The packed half-spectrum holds DC and Nyquist
+    # once and bins 1..N/2-1 once each, so by Parseval
+    #   loss = (N*sum x^2 + X_0^2 + X_{N/2}^2) / 2
+    #   dloss/dx_j = N*x_j + X_0 + (-1)^j * X_{N/2}.
+    # Compare against that exactly — NOT a finite difference: the loss is
+    # ~6e5 in f32 (resolution ~0.06), so an eps=1e-2 difference is
+    # quantized to a few ULPs and its error bound (~12) dwarfs any sane
+    # tolerance — the old FD form failed order-dependently on nothing but
+    # f32 rounding noise (and its 2N*x comment dropped the DC/Nyq terms).
+    X = np.fft.rfft(x.astype(np.float64), axis=1)
+    signs = ((-1.0) ** np.arange(n))[None, :]
+    expect = n * x + X[:, :1].real + signs * X[:, -1:].real
+    # Derived bound: the engine gradient IS the backward transform of the
+    # cotangent 2*(re, im), and the engine's differential bound 2e-7*N
+    # (reference test.cpp:9-14) is relative to the transform INPUT scale —
+    # here max 2|X|, not max |x|. Measured error is ~3% of this bound.
+    atol = 2e-7 * n * 2.0 * float(np.abs(X).max())
+    np.testing.assert_allclose(g, expect, atol=atol, rtol=0)
 
 
 def test_convolve_irfft_fused(rng):
