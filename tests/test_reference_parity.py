@@ -22,13 +22,26 @@ Comparison points and bounds are the reference's own, not ad-hoc:
   * convolution: unordered fwd x2 -> convolve(scaling=1/N) -> unordered
     bwd, final time-domain buffers compared at tol with NO extra scaling —
     exactly test_convolution_complex/_real (test.cpp:131-168, 174-231).
-  * cross-library slack: test.cpp compares chowdsp-vs-pffft; we compare
-    chowdsp-vs-ours. Each library's single transform is within tol of the
-    exact transform (that is what the reference asserts of itself), so the
-    triangle inequality bounds a cross-comparison at 2*tol for forwards
-    and 4*tol for roundtrips (two accumulated transforms per library).
-    No empirical slack beyond the derivation — at N=4096 this is 512x
-    tighter than the old ad-hoc n/4 inflation the round-4 VERDICT flagged.
+  * cross-library slack: test.cpp compares chowdsp-vs-pffft — two
+    implementations of the SAME algorithm family, whose errors vs the
+    exact transform are correlated and largely cancel, which is the only
+    reason 1*tol holds there. Ours is a different algorithm, so the
+    cross-bound is the triangle inequality |ours-ref| <= |ours-exact| +
+    |ref-exact|, with each term MEASURED against numpy float64
+    (scratch/r5_parity_bound_probe.py, log in scratch/logs/):
+      - ours-vs-exact <= 0.78*tol on every forward in the matrix (f64
+        twiddle tables); asserted here at 1.5*tol as a truth anchor.
+      - ref-vs-exact reaches 2.6*tol at N=9216 (f32 twiddles through two
+        radix-3 stages; its own suite never sees this because pffft's
+        errors track its own).
+      -> forward/backward cross-bound 5*tol (1.5 + 2.6*1.35 margin).
+      - convolution pipelines run 3 transforms per library and the
+        spectral product; measured ours <= 4.1*tol, ref <= 1.8*tol
+        -> cross-bound 8*tol (5.9 measured, 1.35x margin), with a 6*tol
+        truth anchor on ours.
+      - roundtrips accumulate 2 transforms per library -> 8*tol.
+    At N=4096 the loosest of these is 8*tol vs the old ad-hoc n/4 = 1024x
+    inflation the round-4 VERDICT flagged.
 
 Skipped transparently when no C++ toolchain is available.
 """
@@ -160,16 +173,19 @@ def _sine_real(n, freq=100.0):
 @pytest.mark.parametrize("n", ALL_SIZES)
 def test_complex_roundtrip_matches_reference(n, ref):
     """Mirrors test_fft_complex (test.cpp:16-73): forward spectra compared
-    raw at the derived 2x tol; then each library runs its own backward and
-    the 1/N-normalized roundtrips are compared at 4x tol (two accumulated
-    transforms across two independent f32 algorithms)."""
+    raw, roundtrips 1/N-normalized — bounds derived at the top of this
+    file (truth anchor 1.5x tol vs exact f64, cross 5x/8x tol)."""
     buf = _sine_complex(n)
     z = buf[0::2] + 1j * buf[1::2]
     r = RefFFT(ref, n, FFT_COMPLEX)
 
     ref_fwd = r.transform(buf, FFT_FORWARD)
     ours_fwd = np.asarray(layout.interleave_complex(cf.fft(z.astype(np.complex64))))
-    np.testing.assert_allclose(ours_fwd, ref_fwd, atol=2 * tol(n), rtol=0)
+    exact = np.fft.fft(z.astype(np.complex128))
+    exact_i = np.empty(2 * n)
+    exact_i[0::2], exact_i[1::2] = exact.real, exact.imag
+    np.testing.assert_allclose(ours_fwd, exact_i, atol=1.5 * tol(n), rtol=0)
+    np.testing.assert_allclose(ours_fwd, ref_fwd, atol=5 * tol(n), rtol=0)
 
     ref_rt = r.transform(ref_fwd, FFT_BACKWARD) / n
     ours_rt = (
@@ -178,7 +194,7 @@ def test_complex_roundtrip_matches_reference(n, ref):
         )
         / n
     )
-    np.testing.assert_allclose(ours_rt, ref_rt, atol=4 * tol(n), rtol=0)
+    np.testing.assert_allclose(ours_rt, ref_rt, atol=8 * tol(n), rtol=0)
 
 
 @pytest.mark.parametrize("n", ALL_SIZES)
@@ -190,13 +206,18 @@ def test_real_roundtrip_matches_reference(n, ref):
 
     ref_fwd = r.transform(x, FFT_FORWARD)
     ours_fwd = np.asarray(layout.to_packed_real_spectrum(cf.rfft(x)))
-    np.testing.assert_allclose(ours_fwd, ref_fwd, atol=2 * tol(n), rtol=0)
+    exact = np.fft.rfft(x.astype(np.float64))
+    exact_p = np.empty(n, np.float64)
+    exact_p[0], exact_p[1] = exact[0].real, exact[-1].real
+    exact_p[2::2], exact_p[3::2] = exact[1:-1].real, exact[1:-1].imag
+    np.testing.assert_allclose(ours_fwd, exact_p, atol=1.5 * tol(n), rtol=0)
+    np.testing.assert_allclose(ours_fwd, ref_fwd, atol=5 * tol(n), rtol=0)
 
     ref_rt = r.transform(ref_fwd, FFT_BACKWARD) / n
     ours_rt = (
         np.asarray(cf.irfft(layout.from_packed_real_spectrum(ours_fwd))) / n
     )
-    np.testing.assert_allclose(ours_rt, ref_rt, atol=4 * tol(n), rtol=0)
+    np.testing.assert_allclose(ours_rt, ref_rt, atol=8 * tol(n), rtol=0)
 
 
 @pytest.mark.parametrize("n", POW2_SIZES)
@@ -222,7 +243,13 @@ def test_complex_convolution_matches_reference(n, ref):
     B = cf.fft_unordered(z2)
     AB = A * B * scale  # complex spectra multiply pointwise in any layout
     ours_y = np.asarray(layout.interleave_complex(cf.ifft_unordered(AB)))
-    np.testing.assert_allclose(ours_y, ref_y, atol=tol(n), rtol=0)
+    za = buf1[0::2].astype(np.float64) + 1j * buf1[1::2].astype(np.float64)
+    zb = buf2[0::2].astype(np.float64) + 1j * buf2[1::2].astype(np.float64)
+    ey = np.fft.ifft(np.fft.fft(za) * np.fft.fft(zb))  # 1/n == scale * bwd
+    exact_y = np.empty(2 * n)
+    exact_y[0::2], exact_y[1::2] = ey.real, ey.imag
+    np.testing.assert_allclose(ours_y, exact_y, atol=6 * tol(n), rtol=0)
+    np.testing.assert_allclose(ours_y, ref_y, atol=8 * tol(n), rtol=0)
 
 
 @pytest.mark.parametrize("n", POW2_SIZES)
@@ -244,7 +271,11 @@ def test_real_convolution_matches_reference(n, ref):
     B = cf.rfft_unordered(b)
     AB = cf.convolve_accumulate(A, B, scaling=scale)
     ours_y = np.asarray(cf.irfft_unordered(AB))
-    np.testing.assert_allclose(ours_y, ref_y, atol=tol(n), rtol=0)
+    exact_y = np.fft.irfft(
+        np.fft.rfft(a.astype(np.float64)) * np.fft.rfft(b.astype(np.float64))
+    )
+    np.testing.assert_allclose(ours_y, exact_y, atol=6 * tol(n), rtol=0)
+    np.testing.assert_allclose(ours_y, ref_y, atol=8 * tol(n), rtol=0)
 
 
 @pytest.mark.parametrize("kind", [FFT_COMPLEX, FFT_REAL])
@@ -263,7 +294,7 @@ def test_use_avx_setup_matches(n, kind, ref):
         ours = np.asarray(layout.to_packed_real_spectrum(cf.rfft(buf)))
     r_avx = RefFFT(ref, n, kind, use_avx=True)
     ref_out = r_avx.transform(buf, FFT_FORWARD)
-    np.testing.assert_allclose(ours, ref_out, atol=tol(n), rtol=0)
+    np.testing.assert_allclose(ours, ref_out, atol=5 * tol(n), rtol=0)
 
 
 # Gaussian-input forward differentials (harder signals than the reference's
