@@ -99,12 +99,18 @@ _VMEM_LIMIT = 100 * (1 << 20)
 # Ordered complex IO rides inside the kernel (minor-2D-transpose chain,
 # same pattern as the real kernel's to_plane) instead of a separate XLA
 # digit-transpose pass over HBM — but only for small row counts: the
-# in-kernel chain costs ~n1-proportional shuffle work, measured (round 4,
-# scratch/r4_ordered_ab.py) +8% fwd / ~tie rt at N=4096 (n1=32), a loss
-# at 2^13 and 2.2x slower at 2^15 (n1=256). None for "never", else the
-# largest n1 that takes the in-kernel form. Module knob so the on-chip
-# A/B can force either form.
-_ORDERED_IN_KERNEL_MAX_N1: int | None = 32
+# in-kernel chain costs ~n1-proportional shuffle work while the external
+# XLA transpose is flat (~one HBM round trip). Measured gate history:
+# round 4 (un-aliased kernel, scratch/r4_ordered_ab.py) put the crossover
+# at n1=32; round 5 re-measured with input_output_aliases live
+# (scratch/r5_ordkernel_ab.py + log): n1=64 in-kernel WINS 252 vs 333us
+# at 2^13, n1=128 loses 383 vs 299, n1=256 loses 641 vs 282 — the
+# aliased kernel is 40% faster so the flat external pass weighs more.
+# None for "never", else the largest n1 that takes the in-kernel form.
+# Module knob so the on-chip A/B can force either form. Mirrored by
+# utils/roofline.ORDERED_IN_KERNEL_MAX_N1 (natural order above the gate
+# structurally costs one extra HBM round trip); a test pins them equal.
+_ORDERED_IN_KERNEL_MAX_N1: int | None = 64
 
 # In-place (buffer-donating) kernel IO: declare input_output_aliases on
 # every 2-plane kernel whose in/out BlockSpecs are identical, so the output

@@ -79,6 +79,12 @@ class Roofline:
 # plain constant so utils stays import-light — tests/test_roofline.py pins
 # the two in sync).
 SINGLE_KERNEL_MAX_N = 131072
+
+# Largest n1 = n/128 whose natural-order IO rides inside the complex
+# kernel; above it the engine pays a separate XLA digit-transpose = one
+# extra HBM round trip per ordered transform. Pinned equal to
+# ops.pallas_fft._ORDERED_IN_KERNEL_MAX_N1 by tests/test_roofline.py.
+ORDERED_IN_KERNEL_MAX_N1 = 64
 _MAX_DIRECT_N = 511  # mirrors ops.pallas_fft._MAX_SMALL_FALLBACK
 
 
@@ -106,6 +112,7 @@ def fft_roofline(
     chip: ChipSpec = V5E,
     merge_lanes: int = 128,
     levels: int | None = None,
+    ordered: bool = True,
 ) -> Roofline:
     """Speed of light for a batched (r)fft of length n.
 
@@ -114,6 +121,16 @@ def fft_roofline(
     composite (ops/pallas_fft._cfft_composite_v2 and the direct-real
     analog), so the data makes two round trips; ``levels`` defaults to
     the dispatch tier and can be forced for modeling.
+    ``ordered`` (complex only): natural bin order above the in-kernel
+    reorder gate (n1 > ORDERED_IN_KERNEL_MAX_N1) structurally costs one
+    extra HBM round trip — the digit transpose, the TPU analog of
+    pffft_zreorder, which the reference's ordered fft_transform likewise
+    pays. Measured round 5 (scratch/r5_ordkernel_ab.py): the in-kernel
+    shuffle chain grows with n1 and loses to the flat external pass above
+    n1=64 (383 vs 299us at 2^14, 641 vs 282 at 2^15), so the reorder trip
+    is a hardware law of natural order at these sizes, not an
+    implementation artifact. Pass ordered=False for the engine-private
+    unordered basis (convolution chains).
     Compute: butterfly flops on the VPU + the four-step merge matmul on
     the MXU, costed by the validated PASS model (rows x passes at
     mxu_rows_per_cycle, column-count-independent): the real forward's
@@ -146,6 +163,17 @@ def fft_roofline(
         live_bytes = 4 * batch * n * 4  # 2 in + 2 out fp32 planes
         if live_bytes > 32 * (1 << 20):
             t_mem *= 2.0
+    if (
+        kind != "real"
+        and levels == 1
+        and ordered
+        and n // 128 > ORDERED_IN_KERNEL_MAX_N1
+    ):
+        # Natural-order digit transpose above the in-kernel gate: one
+        # extra full-duplex HBM round trip (see ``ordered`` in the
+        # docstring). The two-level composite emits natural order through
+        # its own structured transpose and is already charged 2 trips.
+        t_mem += batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
 
     row_unit = chip.f32_passes / chip.mxu_rows_per_cycle / chip.mxu_clock_hz
     merge_rows = batch * max(1, n // merge_lanes)

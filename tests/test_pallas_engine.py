@@ -947,7 +947,7 @@ def test_cfft_double_buffered_matches_grid(reverse_order, rng):
     np.testing.assert_array_equal(np.asarray(d[1]), np.asarray(g[1]))
 
 
-@pytest.mark.parametrize("n", [512, 4096])
+@pytest.mark.parametrize("n", [512, 4096, 8192])
 def test_cfft_ordered_in_kernel_matches_xla_transpose(n, rng):
     """Ordered complex IO has two implementations: the in-kernel
     minor-transpose chain (default for n1 <= _ORDERED_IN_KERNEL_MAX_N1)

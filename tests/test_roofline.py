@@ -50,22 +50,37 @@ def test_two_level_tier_matches_dispatch():
     ceiling, and the composite tier doubles the memory term (two HBM
     round trips) — the denominator behind the sweep's large-N rows."""
     from chowdsp_fft_tpu.ops import pallas_fft
-    from chowdsp_fft_tpu.utils.roofline import SINGLE_KERNEL_MAX_N
+    from chowdsp_fft_tpu.utils.roofline import (
+        ORDERED_IN_KERNEL_MAX_N1,
+        SINGLE_KERNEL_MAX_N,
+    )
 
     assert SINGLE_KERNEL_MAX_N == pallas_fft._MAX_N
-    r1 = fft_roofline(1 << 17, 32, "complex")
+    assert ORDERED_IN_KERNEL_MAX_N1 == pallas_fft._ORDERED_IN_KERNEL_MAX_N1
+    # unordered basis isolates the level structure from the reorder charge
+    r1 = fft_roofline(1 << 17, 32, "complex", ordered=False)
     r2 = fft_roofline(1 << 18, 16, "complex")
     # Two HBM round trips x the measured un-aliased footprint floor (2x —
     # the composite's level kernels cannot alias, NOTES.md round-5 tier):
     # 4x the one-level memory term at equal element count.
     assert math.isclose(r2.seconds_memory, 4 * r1.seconds_memory)
     # forcing levels overrides the tier
-    f = fft_roofline(1 << 18, 16, "complex", levels=1)
+    f = fft_roofline(1 << 18, 16, "complex", levels=1, ordered=False)
     assert math.isclose(f.seconds_memory, r1.seconds_memory)
     # Below the ~32 MB live-footprint window the floor does not apply.
     small = fft_roofline(1 << 18, 4, "complex")
-    one = fft_roofline(1 << 17, 8, "complex")
+    one = fft_roofline(1 << 17, 8, "complex", ordered=False)
     assert math.isclose(small.seconds_memory, 2 * one.seconds_memory)
+    # Ordered complex above the in-kernel reorder gate carries exactly one
+    # extra HBM round trip (the digit transpose); at/below the gate the
+    # ordered and unordered bounds coincide (round-5 gate law,
+    # scratch/r5_ordkernel_ab.py).
+    above = fft_roofline(1 << 14, 256, "complex")
+    above_u = fft_roofline(1 << 14, 256, "complex", ordered=False)
+    assert math.isclose(above.seconds_memory, 2 * above_u.seconds_memory)
+    at = fft_roofline(1 << 13, 512, "complex")
+    at_u = fft_roofline(1 << 13, 512, "complex", ordered=False)
+    assert math.isclose(at.seconds_memory, at_u.seconds_memory)
     # complex N=4096 serial bound ~187us (ROOFLINE.md table)
     rc = fft_roofline(4096, 1024, "complex")
     assert 180e-6 < rc.seconds_serial < 195e-6
