@@ -102,13 +102,12 @@ def config1_roundtrip_snr(results):
     print(f"config1: roundtrip SNR {rt_snr:.1f} dB, max err {max_err:.2e}")
 
 
-def config2_sweep(results, quick=False):
+def config2_sweep(results, quick=False, reps=2):
     import jax
     import jax.numpy as jnp
     import chowdsp_fft_tpu as cf
 
     rng = np.random.default_rng(2)
-    rows = []
     # 2^5..2^20: same span as the reference's bench (2^5..2^19,
     # /root/reference/bench/bench.cpp:131-138) plus the BASELINE 2^20 row,
     # plus two medium smooth non-multiples of 128 (round 3: direct-DFT
@@ -116,15 +115,29 @@ def config2_sweep(results, quick=False):
     sizes = [2**e for e in range(5, 21)] + [960, 3600]
     if quick:
         sizes = [64, 4096, 65536]
+        reps = 1
     work = 1 << 22  # keep B*N constant
-    for n in sizes:
-        try:
-            _config2_row(rows, rng, n, work)
-        except Exception as e:  # one bad row must not kill the sweep
-            print(f"config2: N={n} FAILED: {type(e).__name__}: {e}")
-            rows.append({"N": n, "error": f"{type(e).__name__}: {e}"})
+    # The chip's throughput drifts on a ~minutes timescale (measured up to
+    # +-40% row-to-row on 2026-08-20), far beyond measure()'s seconds-scale
+    # min-of-3 — so the whole row pass repeats ``reps`` times, spaced in
+    # time, and each throughput metric keeps its best (the same
+    # min-estimator the inner loop already is; fractions recomputed from
+    # the merged fwd numbers by _config2_row's caller logic below).
+    passes = []
+    for rep in range(reps):
+        rows_pass = []
+        for n in sizes:
+            try:
+                _config2_row(rows_pass, rng, n, work)
+            except Exception as e:  # one bad row must not kill the sweep
+                print(f"config2: N={n} FAILED: {type(e).__name__}: {e}")
+                rows_pass.append({"N": n, "error": f"{type(e).__name__}: {e}"})
+        passes.append(rows_pass)
+    rows = _merge_config2_passes(passes)
     results["config2"] = {
-        "desc": "throughput sweep (1 chip). fwd = forward-only (the "
+        "desc": "throughput sweep (1 chip), best of time-spaced row "
+        "passes (chip throughput drifts +-40% on a minutes timescale). "
+        "fwd = forward-only (the "
         "headline bench.py basis); rt = per-transform average of a "
         "fwd+bwd round-trip chain (the reference bench's methodology). "
         "Roofline fractions are fwd-basis with the denominator from "
@@ -132,6 +145,37 @@ def config2_sweep(results, quick=False):
         "serial-phase governing bound).",
         "rows": rows,
     }
+
+
+_C2_SPEED_KEYS = ("rfft_fwd_Msps", "rfft_rt_Msps", "cfft_fwd_Msps", "cfft_rt_Msps")
+
+
+def _merge_config2_passes(passes):
+    """Per-row best-of across time-spaced passes: keep each metric's max
+    Ms/s, then recompute the roofline fractions from the merged fwd
+    values (same denominators _config2_row used)."""
+    from chowdsp_fft_tpu.utils.roofline import fft_roofline
+
+    merged = []
+    for i, base in enumerate(passes[0]):
+        cands = [p[i] for p in passes if i < len(p) and "error" not in p[i]]
+        if not cands:
+            merged.append(base)
+            continue
+        row = dict(cands[0])
+        for k in _C2_SPEED_KEYS:
+            row[k] = max(c[k] for c in cands)
+        n, b = row["N"], row["batch"]
+        roof = fft_roofline(n, b, "real")
+        croof = fft_roofline(n, b, "complex")
+        row["rfft_fwd_vs_mem_roofline"] = round(
+            row["rfft_fwd_Msps"] * 1e6 / (b * n / roof.seconds_memory), 4)
+        row["rfft_fwd_vs_governing"] = round(
+            row["rfft_fwd_Msps"] * 1e6 / (roof.samples_per_s_serial), 4)
+        row["cfft_fwd_vs_governing"] = round(
+            row["cfft_fwd_Msps"] * 1e6 / (croof.samples_per_s_serial), 4)
+        merged.append(row)
+    return merged
 
 
 def _config2_row(rows, rng, n, work):
