@@ -102,7 +102,7 @@ def config1_roundtrip_snr(results):
     print(f"config1: roundtrip SNR {rt_snr:.1f} dB, max err {max_err:.2e}")
 
 
-def config2_sweep(results, quick=False, reps=2):
+def config2_sweep(results, quick=False, reps=3):
     import jax
     import jax.numpy as jnp
     import chowdsp_fft_tpu as cf
@@ -118,11 +118,12 @@ def config2_sweep(results, quick=False, reps=2):
         reps = 1
     work = 1 << 22  # keep B*N constant
     # The chip's throughput drifts on a ~minutes timescale (measured up to
-    # +-40% row-to-row on 2026-08-20), far beyond measure()'s seconds-scale
-    # min-of-3 — so the whole row pass repeats ``reps`` times, spaced in
-    # time, and each throughput metric keeps its best (the same
-    # min-estimator the inner loop already is; fractions recomputed from
-    # the merged fwd numbers by _config2_row's caller logic below).
+    # +-40% row-to-row on 2026-08-20) and a tunnel stall inside one
+    # length's min-of-3 can fake a 2x-over-governing slope (a 79 Gs/s
+    # rfft row was observed) — so the whole row pass repeats ``reps``
+    # times, spaced in time, and each throughput metric takes the MEDIAN
+    # across passes: an odd rep count rejects single outliers in either
+    # direction, which best-of/min-of cannot.
     passes = []
     for rep in range(reps):
         rows_pass = []
@@ -135,8 +136,9 @@ def config2_sweep(results, quick=False, reps=2):
         passes.append(rows_pass)
     rows = _merge_config2_passes(passes)
     results["config2"] = {
-        "desc": "throughput sweep (1 chip), best of time-spaced row "
-        "passes (chip throughput drifts +-40% on a minutes timescale). "
+        "desc": "throughput sweep (1 chip), median of time-spaced row "
+        "passes (chip throughput drifts +-40% on a minutes timescale and "
+        "single-pass slopes can glitch). "
         "fwd = forward-only (the "
         "headline bench.py basis); rt = per-transform average of a "
         "fwd+bwd round-trip chain (the reference bench's methodology). "
@@ -164,7 +166,7 @@ def _merge_config2_passes(passes):
             continue
         row = dict(cands[0])
         for k in _C2_SPEED_KEYS:
-            row[k] = max(c[k] for c in cands)
+            row[k] = round(float(np.median([c[k] for c in cands])), 1)
         n, b = row["N"], row["batch"]
         roof = fft_roofline(n, b, "real")
         croof = fft_roofline(n, b, "complex")
