@@ -125,18 +125,31 @@ def main() -> None:
 
         return loop
 
-    times = {}
+    loops = {}
     for iters in (ITERS_LO, ITERS_HI):
-        loop = make_loop(iters)
-        float(loop(x))  # compile + warm
-        best = float("inf")
-        for _ in range(8):
-            t0 = time.perf_counter()
-            float(loop(x))
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
+        loops[iters] = make_loop(iters)
+        float(loops[iters](x))  # compile + warm
 
-    per_iter = (times[ITERS_HI] - times[ITERS_LO]) / (ITERS_HI - ITERS_LO)
+    # Median of 3 time-spaced slope rounds over the SAME compiled loops:
+    # the chip's throughput drifts on a ~minutes timescale and a transient
+    # tunnel stall inside one length's min-of-N fakes an arbitrarily wrong
+    # slope (a 2x-over-governing rfft row was observed in the round-5
+    # sweep) — a single slope estimate cannot detect that; the median of
+    # an odd number rejects it. Rounds cost only timing (no recompiles).
+    slopes = []
+    for _ in range(3):
+        times = {}
+        for iters in (ITERS_LO, ITERS_HI):
+            best = float("inf")
+            for _ in range(8):
+                t0 = time.perf_counter()
+                float(loops[iters](x))
+                best = min(best, time.perf_counter() - t0)
+            times[iters] = best
+        slopes.append((times[ITERS_HI] - times[ITERS_LO]) / (ITERS_HI - ITERS_LO))
+        time.sleep(2.0)
+
+    per_iter = float(np.median(slopes))
     msps = BATCH * N / per_iter / 1e6
     roof_mem, roof_gov = roofline_msamples()
     print(
