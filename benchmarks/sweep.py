@@ -165,11 +165,25 @@ def _merge_config2_passes(passes):
             merged.append(base)
             continue
         row = dict(cands[0])
-        for k in _C2_SPEED_KEYS:
-            row[k] = round(float(np.median([c[k] for c in cands])), 1)
         n, b = row["N"], row["batch"]
         roof = fft_roofline(n, b, "real")
         croof = fft_roofline(n, b, "complex")
+        # Physical-sanity filter before the median: nothing can beat the
+        # HBM memory bound, so a candidate above it is a measurement
+        # glitch by definition (a 116 Gs/s rfft row = 1.14x the memory
+        # roofline was observed in a drifting-tunnel pass). 5% headroom
+        # for model/clock slack; if every pass glitched, fall back to the
+        # raw median.
+        caps = {
+            "rfft_fwd_Msps": b * n / roof.seconds_memory / 1e6,
+            "rfft_rt_Msps": b * n / roof.seconds_memory / 1e6,
+            "cfft_fwd_Msps": b * n / croof.seconds_memory / 1e6,
+            "cfft_rt_Msps": b * n / croof.seconds_memory / 1e6,
+        }
+        for k in _C2_SPEED_KEYS:
+            vals = [c[k] for c in cands]
+            sane = [v for v in vals if v <= caps[k] * 1.05]
+            row[k] = round(float(np.median(sane or vals)), 1)
         row["rfft_fwd_vs_mem_roofline"] = round(
             row["rfft_fwd_Msps"] * 1e6 / (b * n / roof.seconds_memory), 4)
         row["rfft_fwd_vs_governing"] = round(
