@@ -42,27 +42,38 @@ from chowdsp_fft_tpu.utils.roofline import fft_roofline  # noqa: E402
 
 
 def measure(fn_body, init, iters_pair):
+    """Per-iteration seconds as the slope between two scan lengths.
+
+    BOTH loops are compiled and warmed BEFORE any timing, then the two
+    lengths are timed in interleaved rounds (lo, hi, lo, hi, ...), min
+    per length. Timing a loop in the window right after a compile reads
+    up to 2x slow when the tunnel is in its seconds-per-compile state —
+    the round-5 2^13 sweep row read 8-11 Gs/s inside the old
+    compile-then-time-immediately structure while the identical body
+    measured 16.6 Gs/s in a compile-everything-first harness, same
+    process (benchmarks/NOTES.md round-5 harness entry)."""
     import jax
 
-    ts = []
+    loops = []
     for iters in iters_pair:
 
         @jax.jit
-        def loop(v):
+        def loop(v, _iters=iters):
             def body(c, _):
                 return fn_body(c), None
 
-            c, _ = jax.lax.scan(body, v, None, length=iters)
+            c, _ = jax.lax.scan(body, v, None, length=_iters)
             return jax.tree_util.tree_map(lambda a: a.sum(), c)
 
         jax.tree_util.tree_map(float, loop(init))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
+        loops.append(loop)
+    best = [float("inf"), float("inf")]
+    for _ in range(3):
+        for j, loop in enumerate(loops):
             t0 = time.perf_counter()
             jax.tree_util.tree_map(float, loop(init))
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    return (ts[1] - ts[0]) / (iters_pair[1] - iters_pair[0])
+            best[j] = min(best[j], time.perf_counter() - t0)
+    return (best[1] - best[0]) / (iters_pair[1] - iters_pair[0])
 
 
 def snr_db(ref, got):
