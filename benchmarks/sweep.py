@@ -164,9 +164,9 @@ _C2_SPEED_KEYS = ("rfft_fwd_Msps", "rfft_rt_Msps", "cfft_fwd_Msps", "cfft_rt_Msp
 
 
 def _merge_config2_passes(passes):
-    """Per-row best-of across time-spaced passes: keep each metric's max
-    Ms/s, then recompute the roofline fractions from the merged fwd
-    values (same denominators _config2_row used)."""
+    """Per-row merge across time-spaced passes: per-metric MEDIAN of the
+    physically-sane candidates, then recompute the roofline fractions
+    from the merged fwd values (same denominators _config2_row used)."""
     from chowdsp_fft_tpu.utils.roofline import fft_roofline
 
     merged = []
@@ -492,6 +492,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(
+        "--regrade",
+        action="store_true",
+        help="no measurement: reload RESULTS.json and recompute the config2 "
+        "roofline fractions against the CURRENT fft_roofline tiers, then "
+        "rewrite RESULTS.{md,json} (use after a tier re-derivation)",
+    )
+    ap.add_argument(
         "--configs",
         default="1,2,3,4,5",
         help="comma-separated subset to run; the rest is carried over from "
@@ -499,6 +506,8 @@ def main():
     )
     args = ap.parse_args()
     which = {c.strip() for c in args.configs.split(",")}
+    if args.regrade:
+        which = set()
 
     import jax
 
@@ -514,6 +523,22 @@ def main():
                     results[k] = prev[k]
         except Exception:
             pass
+
+    if args.regrade and "config2" in results:
+        from chowdsp_fft_tpu.utils.roofline import fft_roofline as _fr
+
+        for r in results["config2"]["rows"]:
+            if "error" in r:
+                continue
+            n_, b_ = r["N"], r["batch"]
+            roof = _fr(n_, b_, "real")
+            croof = _fr(n_, b_, "complex")
+            r["rfft_fwd_vs_mem_roofline"] = round(
+                r["rfft_fwd_Msps"] * 1e6 / (b_ * n_ / roof.seconds_memory), 4)
+            r["rfft_fwd_vs_governing"] = round(
+                r["rfft_fwd_Msps"] * 1e6 / roof.samples_per_s_serial, 4)
+            r["cfft_fwd_vs_governing"] = round(
+                r["cfft_fwd_Msps"] * 1e6 / croof.samples_per_s_serial, 4)
 
     if "1" in which:
         config1_roundtrip_snr(results)

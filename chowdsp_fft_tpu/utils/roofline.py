@@ -174,6 +174,20 @@ def fft_roofline(
         # docstring). The two-level composite emits natural order through
         # its own structured transpose and is already charged 2 trips.
         t_mem += batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
+    if kind == "real" and levels >= 2 and ordered and n > SINGLE_KERNEL_MAX_N:
+        # (Gated to the pallas v2 real composite's range — the medium
+        # smooth sizes, e.g. 960/3600, dispatch to the portable engine
+        # whose pass structure this model does not describe.)
+        # The real composite's Hermitian assembly is its reorder trip:
+        # the level kernels compute only the k1 <= A/2 half-grid, and
+        # producing the packed natural-order planes requires one more
+        # full pass (XLA rev/concat — the mirror halves are minor-axis
+        # reversals, which Mosaic kernels cannot emit in-block). Measured
+        # round 5 (scratch/r5_rcomp_phase.py, 2^18 b=16): L1 148.7us +
+        # lines 5.6 + L2 103.2 + assembly 79.0 = 336.5 vs 352.6 full —
+        # the assembly is a structural ~1 round trip (2x the 39us duplex
+        # floor), same class as the complex ordered reorder charge.
+        t_mem += batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
 
     row_unit = chip.f32_passes / chip.mxu_rows_per_cycle / chip.mxu_clock_hz
     merge_rows = batch * max(1, n // merge_lanes)
