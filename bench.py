@@ -61,8 +61,10 @@ def _probe_backend(budget_s: float = 600.0) -> bool:
 
     deadline = time.monotonic() + budget_s
     timeout_s, backoff_s = 180.0, 15.0
+    fast_fails = 0
     while True:
         attempt_budget = min(timeout_s, max(30.0, deadline - time.monotonic()))
+        t_start = time.monotonic()
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -71,8 +73,18 @@ def _probe_backend(budget_s: float = 600.0) -> bool:
             )
             if "1024" in r.stdout:
                 return True
+            # A probe that FAILS fast (non-zero exit in seconds — plugin
+            # import error, hard outage) is conclusive; only the hang mode
+            # benefits from the long retry budget. Give up after 3
+            # consecutive fast failures instead of burning the full 10 min.
+            if time.monotonic() - t_start < 30.0:
+                fast_fails += 1
+                if fast_fails >= 3:
+                    return False
+            else:
+                fast_fails = 0
         except subprocess.TimeoutExpired:
-            pass
+            fast_fails = 0
         if time.monotonic() + backoff_s >= deadline:
             return False
         time.sleep(backoff_s)

@@ -154,8 +154,11 @@ def config2_sweep(results, quick=False, reps=3):
         "headline bench.py basis); rt = per-transform average of a "
         "fwd+bwd round-trip chain (the reference bench's methodology). "
         "Roofline fractions are fwd-basis with the denominator from "
-        "utils/roofline.fft_roofline (read+write memory bound; "
-        "serial-phase governing bound).",
+        "utils/roofline.fft_roofline — NOTE the denominators carry the "
+        "measured structural charges (two-level footprint floor, ordered "
+        "reorder trip above n1=64, real-composite assembly trip), so "
+        "seconds_memory is the charged tier, not the raw read+write "
+        "bytes bound (see ROOFLINE.md round-5 section).",
         "rows": rows,
     }
 
@@ -177,32 +180,45 @@ def _merge_config2_passes(passes):
             continue
         row = dict(cands[0])
         n, b = row["N"], row["batch"]
-        roof = fft_roofline(n, b, "real")
-        croof = fft_roofline(n, b, "complex")
         # Physical-sanity filter before the median: nothing can beat the
-        # HBM memory bound, so a candidate above it is a measurement
-        # glitch by definition (a 116 Gs/s rfft row = 1.14x the memory
-        # roofline was observed in a drifting-tunnel pass). 5% headroom
-        # for model/clock slack; if every pass glitched, fall back to the
-        # raw median.
+        # PLAIN read+write HBM bound, so a candidate above it is a
+        # measurement glitch by definition (a 116 Gs/s rfft row = 1.14x
+        # the memory roofline was observed in a drifting-tunnel pass).
+        # levels=1/ordered=False strips the tier's structural charges
+        # (reorder/assembly trips, footprint floor) — rt chains
+        # legitimately avoid some of them, so the cap must be the raw
+        # bytes bound, not the charged one. 5% headroom for model/clock
+        # slack; if every pass glitched, fall back to the raw median.
+        plain_r = fft_roofline(n, b, "real", levels=1, ordered=False)
+        plain_c = fft_roofline(n, b, "complex", levels=1, ordered=False)
         caps = {
-            "rfft_fwd_Msps": b * n / roof.seconds_memory / 1e6,
-            "rfft_rt_Msps": b * n / roof.seconds_memory / 1e6,
-            "cfft_fwd_Msps": b * n / croof.seconds_memory / 1e6,
-            "cfft_rt_Msps": b * n / croof.seconds_memory / 1e6,
+            "rfft_fwd_Msps": b * n / plain_r.seconds_memory / 1e6,
+            "rfft_rt_Msps": b * n / plain_r.seconds_memory / 1e6,
+            "cfft_fwd_Msps": b * n / plain_c.seconds_memory / 1e6,
+            "cfft_rt_Msps": b * n / plain_c.seconds_memory / 1e6,
         }
         for k in _C2_SPEED_KEYS:
             vals = [c[k] for c in cands]
             sane = [v for v in vals if v <= caps[k] * 1.05]
             row[k] = round(float(np.median(sane or vals)), 1)
-        row["rfft_fwd_vs_mem_roofline"] = round(
-            row["rfft_fwd_Msps"] * 1e6 / (b * n / roof.seconds_memory), 4)
-        row["rfft_fwd_vs_governing"] = round(
-            row["rfft_fwd_Msps"] * 1e6 / (roof.samples_per_s_serial), 4)
-        row["cfft_fwd_vs_governing"] = round(
-            row["cfft_fwd_Msps"] * 1e6 / (croof.samples_per_s_serial), 4)
+        _regrade_row(row)
         merged.append(row)
     return merged
+
+
+def _regrade_row(row):
+    """Recompute the roofline-fraction fields from the row's Msps values
+    against the CURRENT fft_roofline tiers — the single formula shared by
+    fresh merges and `--regrade` (one basis, cannot drift)."""
+    n, b = row["N"], row["batch"]
+    roof = fft_roofline(n, b, "real")
+    croof = fft_roofline(n, b, "complex")
+    row["rfft_fwd_vs_mem_roofline"] = round(
+        row["rfft_fwd_Msps"] * 1e6 / (b * n / roof.seconds_memory), 4)
+    row["rfft_fwd_vs_governing"] = round(
+        row["rfft_fwd_Msps"] * 1e6 / roof.samples_per_s_serial, 4)
+    row["cfft_fwd_vs_governing"] = round(
+        row["cfft_fwd_Msps"] * 1e6 / croof.samples_per_s_serial, 4)
 
 
 def _config2_row(rows, rng, n, work):
@@ -525,20 +541,9 @@ def main():
             pass
 
     if args.regrade and "config2" in results:
-        from chowdsp_fft_tpu.utils.roofline import fft_roofline as _fr
-
         for r in results["config2"]["rows"]:
-            if "error" in r:
-                continue
-            n_, b_ = r["N"], r["batch"]
-            roof = _fr(n_, b_, "real")
-            croof = _fr(n_, b_, "complex")
-            r["rfft_fwd_vs_mem_roofline"] = round(
-                r["rfft_fwd_Msps"] * 1e6 / (b_ * n_ / roof.seconds_memory), 4)
-            r["rfft_fwd_vs_governing"] = round(
-                r["rfft_fwd_Msps"] * 1e6 / roof.samples_per_s_serial, 4)
-            r["cfft_fwd_vs_governing"] = round(
-                r["cfft_fwd_Msps"] * 1e6 / croof.samples_per_s_serial, 4)
+            if "error" not in r:
+                _regrade_row(r)
 
     if "1" in which:
         config1_roundtrip_snr(results)

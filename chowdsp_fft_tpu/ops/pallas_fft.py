@@ -2697,18 +2697,17 @@ def _v2_table(arr):
     return (arr, shape, lambda k, z=zeros: z)
 
 
-def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_idx, out_shape,
-             alias: bool = False):
+def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_idx, out_shape):
     """Shared pallas_call driver for the composite-v2 kernels: 1-D grid over
     minor tiles (a 2-D grid with leading-1 blocks costs 199s of Mosaic
     compile time — NOTES.md round 2), tables replicated, twiddle slabs
     sliced by the grid index via their own index maps.
 
-    alias=True declares the 2-plane in-place form (_ALIAS_KERNELS). Only
-    legal for the level-2 kernels, whose in/out BlockSpecs are identical
-    ((b, c, ta) at (0, 0, k) both ways); the level-1 kernels emit a
-    minor-TRANSPOSED block at a different grid offset, so an aliased write
-    at step k would clobber input pages still unread by steps > k."""
+    Deliberately NOT aliased (no input_output_aliases): level-2 aliasing
+    measured -5% at 2^18 (the chain loses its L1/L2 pipelining,
+    scratch/logs/r5_alias_ab2.log), and the level-1 kernels emit a
+    minor-TRANSPOSED block at a different grid offset, so an aliased
+    write at step k would clobber input pages still unread by steps > k."""
     n_elems = int(np.prod(out_shape[0]))
     specs = [pl.BlockSpec(in_block, in_idx, memory_space=pltpu.VMEM) for _ in inputs]
     for t_arr, t_block, t_idx in tables:
@@ -2725,7 +2724,7 @@ def _v2_call(kern, inputs, tables, grid_steps, in_block, in_idx, out_block, out_
             jax.ShapeDtypeStruct(out_shape[0], jnp.float32),
             jax.ShapeDtypeStruct(out_shape[0], jnp.float32),
         ],
-        input_output_aliases=(_alias_io() if alias else None) or {},
+        input_output_aliases={},
         cost_estimate=pl.CostEstimate(
             flops=16 * n_elems,
             bytes_accessed=4 * 4 * n_elems,

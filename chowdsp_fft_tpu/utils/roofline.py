@@ -148,7 +148,12 @@ def fft_roofline(
         in_bytes = n * 8
         out_bytes = n * 8
     t_mem = levels * batch * (in_bytes + out_bytes) / chip.hbm_bytes_per_s
-    if kind != "real" and levels >= 2:
+    if kind != "real" and levels >= 2 and n > SINGLE_KERNEL_MAX_N:
+        # (Gated to the pallas v2 composite's range, like the real-kind
+        # assembly charge below: medium smooth sizes such as 960/3600
+        # dispatch to the portable engine, whose pass structure this floor
+        # was not measured on — ungated, the published cfft governing
+        # fractions exceeded 1.0 there, a provably wrong bound.)
         # HBM-footprint law (measured, round 5: r5_io_floor_probe /
         # r5_stream_probe, benchmarks/NOTES.md): a 2in+2out fp32 kernel
         # whose LIVE in+out pages exceed ~32 MB runs at ~half the duplex

@@ -53,21 +53,22 @@ def crt(r, i):
 br, bi = crt(jax.device_put(zr), jax.device_put(zi))
 err = max(np.abs(np.asarray(br) / n - zr).max(), np.abs(np.asarray(bi) / n - zi).max())
 print(f"  cfft roundtrip N={n}: err {err:.2e}", flush=True)
+assert err < 2e-7 * n
 
 # 3b. ordered cfft at n1=64 (the round-5 in-kernel ordered gate edge,
 # _ORDERED_IN_KERNEL_MAX_N1=64) AND n1=128 (external digit-transpose
-# path), forward vs numpy f64.
+# path), forward vs numpy f64. Own error variable — a round-4-class bug
+# rebound section 3's `err` here and silently skipped its assert.
 for n_ord in (8192, 16384):
     zo_r = rng.standard_normal((8, n_ord)).astype(np.float32)
     zo_i = rng.standard_normal((8, n_ord)).astype(np.float32)
     fr, fi = jax.jit(cf.fft_planes)(jax.device_put(zo_r), jax.device_put(zo_i))
     ref_c = np.fft.fft(zo_r.astype(np.float64) + 1j * zo_i.astype(np.float64), axis=-1)
-    err = max(np.abs(np.asarray(fr) - ref_c.real).max(),
-              np.abs(np.asarray(fi) - ref_c.imag).max())
-    print(f"  ordered cfft N={n_ord} (n1={n_ord//128}): err {err:.2e} "
+    err_ord = max(np.abs(np.asarray(fr) - ref_c.real).max(),
+                  np.abs(np.asarray(fi) - ref_c.imag).max())
+    print(f"  ordered cfft N={n_ord} (n1={n_ord//128}): err {err_ord:.2e} "
           f"(bound {2e-7*n_ord:.1e})", flush=True)
-    assert err < 2e-7 * n_ord
-assert err < 2e-7 * n
+    assert err_ord < 2e-7 * n_ord
 
 # 4. fast-convolution via the unordered path (contractual composition).
 h = (rng.standard_normal((1, n)) / 64).astype(np.float32)
